@@ -1,0 +1,341 @@
+"""Graph model: vertices, edges, vertex sets and edge sets.
+
+This is the host-side graph container layer, the TPU-native equivalent of the
+reference's ``optimisable_graph.h/.hpp`` (see /root/reference/src/optimisable_graph.h:109-816).
+Estimates live in numpy on the host; :mod:`.solver.block_solver` packs them
+into statically-shaped, struct-of-arrays device buffers (the Arena analogue,
+/root/reference/src/arena.h:125-142) at ``initialize()`` time.
+
+API parity map (reference -> here):
+
+* ``Vertex<T, Marginilised>``      -> :class:`PoseVertex` / :class:`LandmarkVertex`
+* ``VertexSet`` active-first index -> :meth:`VertexSet.generate_estimate_data`
+  (active vertices get indices ``0..active_size-1``, fixed vertices appended;
+  optimisable_graph.hpp:85-126)
+* ``EdgeSet::setRobustKernel``     -> :meth:`EdgeSet.set_robust_kernel`
+  (note: unlike the reference, the kernel really is per edge set here; the
+  reference placement-news all kernels into one global device buffer,
+  cuda_block_solver.cu:1030-1051, so its last-set kernel wins globally)
+* ``EdgeSet::setOutlierThreshold`` -> :meth:`EdgeSet.set_outlier_threshold`
+* ``GraphOptimisationOptions``     -> :class:`GraphOptimisationOptions`
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .ops.robust import RobustKernelType
+
+PDIM = 6  # pose block dimension (se3 twist)
+LDIM = 3  # landmark block dimension
+
+
+@dataclasses.dataclass
+class Camera:
+    """Pinhole intrinsics; ``bf`` is the stereo baseline times fx.
+
+    Mirrors /root/reference/src/camera.h:14-41.
+    """
+
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    bf: float = 0.0
+
+    def to_vec(self) -> np.ndarray:
+        return np.array([self.fx, self.fy, self.cx, self.cy, self.bf], dtype=np.float64)
+
+
+@dataclasses.dataclass
+class GraphOptimisationOptions:
+    """Runtime options (reference: graph_optimisation_options.h:8-19).
+
+    ``per_edge_information`` / ``per_edge_camera`` select whether omega and the
+    camera intrinsics are read per edge or once per edge set.  On TPU both
+    modes pack to the same broadcasted device layout; the flags only control
+    which host-side values are used.
+
+    ``dtype`` is the compute precision (``USE_FLOAT32`` analogue,
+    /root/reference/src/scalar.h:25-29).
+    """
+
+    per_edge_information: bool = False
+    per_edge_camera: bool = False
+    dtype: str = "float64"
+
+
+class Se3:
+    """SE(3) element: quaternion ``q = [x, y, z, w]`` plus translation.
+
+    Represents the world->camera transform ``Xc = R(q) Xw + t`` like the
+    reference's ``Se3D`` (fixed_vector.h:430-474).
+    """
+
+    __slots__ = ("q", "t")
+
+    def __init__(self, q, t):
+        self.q = np.asarray(q, dtype=np.float64).reshape(4)
+        self.t = np.asarray(t, dtype=np.float64).reshape(3)
+
+    def __repr__(self):
+        return f"Se3(q={self.q.tolist()}, t={self.t.tolist()})"
+
+
+class BaseVertex:
+    __slots__ = ("id", "fixed", "index")
+
+    def __init__(self, vid: int, fixed: bool):
+        self.id = int(vid)
+        self.fixed = bool(fixed)
+        self.index = -1  # dense index assigned at initialize()
+
+    def is_fixed(self) -> bool:
+        return self.fixed
+
+    def set_fixed(self, fixed: bool) -> None:
+        self.fixed = bool(fixed)
+
+
+class PoseVertex(BaseVertex):
+    """6-DoF SE3 camera pose vertex (not marginalised)."""
+
+    __slots__ = ("estimate",)
+
+    def __init__(self, vid: int, estimate: Se3, fixed: bool = False):
+        super().__init__(vid, fixed)
+        self.estimate = estimate
+
+    def set_estimate(self, est: Se3) -> None:
+        self.estimate = est
+
+    def get_estimate(self) -> Se3:
+        return self.estimate
+
+
+class LandmarkVertex(BaseVertex):
+    """3-DoF world-point vertex (marginalised in the Schur complement)."""
+
+    __slots__ = ("estimate",)
+
+    def __init__(self, vid: int, estimate, fixed: bool = False):
+        super().__init__(vid, fixed)
+        self.estimate = np.asarray(estimate, dtype=np.float64).reshape(3)
+
+    def set_estimate(self, est) -> None:
+        self.estimate = np.asarray(est, dtype=np.float64).reshape(3)
+
+    def get_estimate(self) -> np.ndarray:
+        return self.estimate
+
+
+class VertexSet:
+    """Ordered vertex container with active-first dense index assignment."""
+
+    def __init__(self, marginilised: bool):
+        self.marginilised = bool(marginilised)
+        self._vertices: dict[int, BaseVertex] = {}
+        self.active_size = 0
+        self._ordered: list[BaseVertex] = []
+
+    def add_vertex(self, vertex: BaseVertex) -> None:
+        self._vertices[vertex.id] = vertex
+
+    def get_vertex(self, vid: int) -> Optional[BaseVertex]:
+        return self._vertices.get(vid)
+
+    def remove_vertex(self, vertex: BaseVertex) -> bool:
+        return self._vertices.pop(vertex.id, None) is not None
+
+    def __len__(self) -> int:
+        return len(self._vertices)
+
+    def size(self) -> int:
+        return len(self._vertices)
+
+    def is_marginilised(self) -> bool:
+        return self.marginilised
+
+    def generate_estimate_data(self) -> list[BaseVertex]:
+        """Assign dense indices: active (non-fixed) first, fixed appended.
+
+        Matches the reference's index layout (optimisable_graph.hpp:85-126) so
+        fixed vertices never receive solver increments.
+        """
+        active = [v for v in self._vertices.values() if not v.fixed]
+        fixed = [v for v in self._vertices.values() if v.fixed]
+        for i, v in enumerate(active):
+            v.index = i
+        for i, v in enumerate(fixed):
+            v.index = len(active) + i
+        self.active_size = len(active)
+        self._ordered = active + fixed
+        return self._ordered
+
+    @property
+    def ordered(self) -> list[BaseVertex]:
+        return self._ordered
+
+    def get_active_size(self) -> int:
+        return self.active_size
+
+    # camelCase aliases for users coming from the reference API
+    addVertex = add_vertex
+    getVertex = get_vertex
+    removeVertex = remove_vertex
+    isMarginilised = is_marginilised
+    getActiveSize = get_active_size
+
+
+class PoseVertexSet(VertexSet):
+    def __init__(self, marginilised: bool = False):
+        super().__init__(marginilised)
+
+    def estimates_array(self) -> tuple[np.ndarray, np.ndarray]:
+        """Pack ordered estimates into ``(q [P, 4], t [P, 3])``."""
+        P = len(self._ordered)
+        q = np.empty((P, 4), dtype=np.float64)
+        t = np.empty((P, 3), dtype=np.float64)
+        for i, v in enumerate(self._ordered):
+            q[i] = v.estimate.q
+            t[i] = v.estimate.t
+        return q, t
+
+    def write_back(self, q: np.ndarray, t: np.ndarray) -> None:
+        for i, v in enumerate(self._ordered):
+            v.estimate = Se3(q[i], t[i])
+
+
+class LandmarkVertexSet(VertexSet):
+    def __init__(self, marginilised: bool = True):
+        super().__init__(marginilised)
+
+    def estimates_array(self) -> np.ndarray:
+        L = len(self._ordered)
+        Xw = np.empty((L, 3), dtype=np.float64)
+        for i, v in enumerate(self._ordered):
+            Xw[i] = v.estimate
+        return Xw
+
+    def write_back(self, Xw: np.ndarray) -> None:
+        for i, v in enumerate(self._ordered):
+            v.estimate = Xw[i].copy()
+
+
+class BaseEdge:
+    """An edge connecting one or two vertices with a measurement.
+
+    ``information`` is a scalar omega like the reference's
+    ``Edge::setInformation`` (optimisable_graph.h:447-455).
+    """
+
+    __slots__ = ("vertices", "measurement", "information", "camera", "is_active")
+    NVERTS = 2
+
+    def __init__(self):
+        self.vertices: list[Optional[BaseVertex]] = [None] * self.NVERTS
+        self.measurement = None
+        self.information = 0.0
+        self.camera: Optional[Camera] = None
+        self.is_active = True
+
+    def set_vertex(self, vertex: BaseVertex, index: int) -> None:
+        self.vertices[index] = vertex
+
+    def get_vertex(self, index: int) -> Optional[BaseVertex]:
+        return self.vertices[index]
+
+    def set_measurement(self, m) -> None:
+        self.measurement = m
+
+    def set_information(self, info: float) -> None:
+        self.information = float(info)
+
+    def set_camera(self, camera: Camera) -> None:
+        self.camera = camera
+
+    def inactivate(self) -> None:
+        self.is_active = False
+
+    def set_active(self) -> None:
+        self.is_active = True
+
+    def all_vertices_fixed(self) -> bool:
+        return all(v is not None and v.fixed for v in self.vertices)
+
+    def all_vertices_not_fixed(self) -> bool:
+        return all(v is not None and not v.fixed for v in self.vertices)
+
+    # camelCase aliases
+    setVertex = set_vertex
+    getVertex = get_vertex
+    setMeasurement = set_measurement
+    setInformation = set_information
+    setCamera = set_camera
+
+
+class EdgeSet:
+    """Homogeneous container of edges of one measurement model.
+
+    Concrete subclasses live in :mod:`.models.ba` / :mod:`.models.icp` and
+    define ``KIND`` (the packed-stage dispatch key), ``MDIM`` and ``NVERTS``.
+    """
+
+    KIND = "base"
+    MDIM = 0
+    NVERTS = 2
+
+    def __init__(self):
+        self.edges: list[BaseEdge] = []
+        self.robust_kernel_type = RobustKernelType.NONE
+        self.robust_delta = 1.0
+        self.outlier_threshold = 0.0
+        self.information = 0.0
+        self.camera = Camera()
+        self._outlier_count = 0
+        self._active_edge_size = 0
+        self.is_dirty = True
+
+    def add_edge(self, edge: BaseEdge) -> None:
+        self.edges.append(edge)
+
+    def remove_edge(self, edge: BaseEdge) -> None:
+        self.edges.remove(edge)
+
+    def nedges(self) -> int:
+        return len(self.edges)
+
+    def nactive_edges(self) -> int:
+        return self._active_edge_size
+
+    def set_robust_kernel(self, kind: RobustKernelType, delta: float) -> None:
+        self.robust_kernel_type = RobustKernelType(kind)
+        self.robust_delta = float(delta)
+
+    def set_outlier_threshold(self, threshold: float) -> None:
+        self.outlier_threshold = float(threshold)
+
+    def set_information(self, info: float) -> None:
+        self.information = float(info)
+
+    def set_camera(self, camera: Camera) -> None:
+        self.camera = camera
+
+    def get_outlier_count(self) -> int:
+        return self._outlier_count
+
+    def get_inlier_count(self) -> int:
+        return self._active_edge_size - self._outlier_count
+
+    # camelCase aliases
+    addEdge = add_edge
+    removeEdge = remove_edge
+    setRobustKernel = set_robust_kernel
+    setOutlierThreshold = set_outlier_threshold
+    setInformation = set_information
+    setCamera = set_camera
+    getOutlierCount = get_outlier_count
+    getInlierCount = get_inlier_count

@@ -1,0 +1,178 @@
+"""Synthetic BA problem generators.
+
+Produces KITTI-like bundle-adjustment graphs at arbitrary scale, both as raw
+arrays (fast path for benchmarks; no per-edge Python objects) and as graph
+objects (exercises the user-facing API).  The KITTI BA inputs shipped with the
+reference are absent from its snapshot (samples/ba_input.7z is listed in
+.MISSING_LARGE_BLOBS), so synthetic graphs with matched dimensions
+(P=1322, L=133383, E=561116 for ba_kitti_00; P=248, L=26127, E=95037 for
+ba_kitti_07) are the benchmark workload.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class BAProblem(NamedTuple):
+    """Raw-array BA problem (world->camera poses, landmarks, observations)."""
+
+    pose_q: np.ndarray  # [P, 4] xyzw
+    pose_t: np.ndarray  # [P, 3]
+    num_active_poses: int  # first pose(s) fixed => appended at the end
+    landmarks: np.ndarray  # [L, 3]
+    num_active_landmarks: int
+    meas: np.ndarray  # [E, M]
+    pose_idx: np.ndarray  # [E]
+    lm_idx: np.ndarray  # [E]
+    omega: np.ndarray  # [E]
+    cam: np.ndarray  # [5]
+    kind: str  # "mono" | "stereo" | "depth"
+
+
+DEFAULT_CAM = np.array([718.856, 718.856, 607.1928, 185.2157, 386.1448], dtype=np.float64)
+
+
+def _axis_angle_quat(axis: np.ndarray, angle: np.ndarray) -> np.ndarray:
+    axis = axis / np.linalg.norm(axis, axis=-1, keepdims=True)
+    half = 0.5 * angle[..., None]
+    return np.concatenate([axis * np.sin(half), np.cos(half)], axis=-1)
+
+
+def _quat_rotate_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    qv, w = q[..., :3], q[..., 3:4]
+    uv = 2.0 * np.cross(qv, v)
+    return v + w * uv + np.cross(qv, uv)
+
+
+def make_ba_problem(
+    num_poses: int = 100,
+    num_landmarks: int = 2000,
+    mean_obs_per_landmark: float = 4.0,
+    kind: str = "mono",
+    noise_px: float = 1.0,
+    landmark_noise: float = 0.05,
+    pose_noise: float = 0.002,
+    num_fixed_poses: int = 1,
+    seed: int = 0,
+) -> BAProblem:
+    """Generate a forward-moving camera observing a point cloud.
+
+    Each landmark is observed by a random contiguous window of poses (like
+    feature tracks), measurements are exact projections plus pixel noise, and
+    the initial estimates perturb the ground truth so LM has work to do.
+    """
+    rng = np.random.default_rng(seed)
+    P, L = num_poses, num_landmarks
+    cam = DEFAULT_CAM.copy()
+
+    # ground-truth trajectory: forward motion with slight turning
+    t_gt = np.zeros((P, 3))
+    t_gt[:, 2] = np.arange(P) * 1.0
+    t_gt[:, 0] = np.sin(np.arange(P) * 0.02) * 5.0
+    yaw = np.cos(np.arange(P) * 0.02) * 0.05
+    q_gt = _axis_angle_quat(np.tile(np.array([0.0, 1.0, 0.0]), (P, 1)), yaw)
+
+    # landmarks spread around the trajectory, in front of their anchor poses
+    anchor = rng.integers(0, P, size=L)
+    local = np.stack(
+        [
+            rng.uniform(-15.0, 15.0, L),
+            rng.uniform(-5.0, 5.0, L),
+            rng.uniform(4.0, 40.0, L),
+        ],
+        axis=-1,
+    )
+    Xw_gt = t_gt[anchor] + local
+
+    # observations: a contiguous pose window per landmark
+    n_obs = np.maximum(
+        1, rng.poisson(mean_obs_per_landmark, size=L)
+    ).astype(np.int64)
+    n_obs = np.minimum(n_obs, 12)
+    start = np.maximum(0, anchor - rng.integers(0, 3, size=L))
+    lm_idx = np.repeat(np.arange(L, dtype=np.int64), n_obs)
+    offsets = np.concatenate([np.arange(n) for n in n_obs])
+    pose_idx = np.minimum(start[lm_idx] + offsets, P - 1).astype(np.int64)
+
+    # world->camera: Xc = R(q_cw) (Xw - C); we store q_cw = conj(q_wc), t = -R C
+    q_cw = q_gt.copy()
+    q_cw[:, :3] *= -1.0
+    t_cw = -_quat_rotate_np(q_cw, t_gt)
+
+    Xc = _quat_rotate_np(q_cw[pose_idx], Xw_gt[lm_idx]) + t_cw[pose_idx]
+    # keep only points safely in front of the camera
+    ok = Xc[:, 2] > 1.0
+    pose_idx, lm_idx, Xc = pose_idx[ok], lm_idx[ok], Xc[ok]
+    E = pose_idx.size
+
+    inv_z = 1.0 / Xc[:, 2]
+    u = cam[0] * Xc[:, 0] * inv_z + cam[2]
+    v = cam[1] * Xc[:, 1] * inv_z + cam[3]
+    if kind == "mono":
+        meas = np.stack([u, v], axis=-1)
+    elif kind == "stereo":
+        meas = np.stack([u, v, u - cam[4] * inv_z], axis=-1)
+    elif kind == "depth":
+        meas = np.stack([u, v, inv_z], axis=-1)
+    else:
+        raise ValueError(kind)
+    meas = meas + rng.normal(0.0, noise_px, size=meas.shape)
+    if kind == "depth":
+        meas[:, 2] = np.abs(meas[:, 2])
+
+    # initial estimates: perturbed ground truth (first `num_fixed_poses` exact)
+    q_est = q_cw + rng.normal(0.0, pose_noise, size=q_cw.shape)
+    q_est /= np.linalg.norm(q_est, axis=-1, keepdims=True)
+    q_est[q_est[:, 3] < 0] *= -1.0
+    t_est = t_cw + rng.normal(0.0, pose_noise * 50, size=t_cw.shape)
+    q_est[:num_fixed_poses] = q_cw[:num_fixed_poses]
+    t_est[:num_fixed_poses] = t_cw[:num_fixed_poses]
+    Xw_est = Xw_gt + rng.normal(0.0, landmark_noise, size=Xw_gt.shape)
+
+    # active-first layout: fixed poses go to the END of the packed arrays
+    nf = num_fixed_poses
+    Pa = P - nf
+    perm = np.concatenate([np.arange(nf, P), np.arange(nf)])  # actives then fixed
+    inv_perm = np.empty(P, dtype=np.int64)
+    inv_perm[perm] = np.arange(P)
+    q_packed, t_packed = q_est[perm], t_est[perm]
+    pose_idx_packed = inv_perm[pose_idx]
+
+    return BAProblem(
+        pose_q=q_packed,
+        pose_t=t_packed,
+        num_active_poses=Pa,
+        landmarks=Xw_est,
+        num_active_landmarks=L,
+        meas=meas,
+        pose_idx=pose_idx_packed.astype(np.int32),
+        lm_idx=lm_idx.astype(np.int32),
+        omega=np.ones(E, dtype=np.float64),
+        cam=cam,
+        kind=kind,
+    )
+
+
+def kitti00_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
+    """A problem with ba_kitti_00's dimensions (README.md:36)."""
+    return make_ba_problem(
+        num_poses=1322,
+        num_landmarks=133383,
+        mean_obs_per_landmark=561116 / 133383,
+        kind=kind,
+        seed=seed,
+    )
+
+
+def kitti07_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
+    """A problem with ba_kitti_07's dimensions (README.md:35)."""
+    return make_ba_problem(
+        num_poses=248,
+        num_landmarks=26127,
+        mean_obs_per_landmark=95037 / 26127,
+        kind=kind,
+        seed=seed,
+    )

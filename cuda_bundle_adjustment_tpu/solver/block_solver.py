@@ -1,0 +1,614 @@
+"""Block solver: packing, structure analysis and the jitted LM pipeline stages.
+
+TPU-first re-design of the reference ``BlockSolver``
+(/root/reference/src/block_solver.h:54-140, block_solver.cpp) with the same
+stage decomposition but functional, statically-shaped semantics:
+
+* atomics -> ``jax.ops.segment_sum`` over edge->pose / edge->landmark indices
+  (fixed vertices sit at indices >= active count, so out-of-range segment ids
+  drop their contributions exactly like the reference's EDGE_FLAG checks);
+* Hpl never materialises as a BSR matrix: it stays per-edge ``[E, 6, 3]``
+  blocks (the reference stores one block per both-free edge too,
+  cuda_block_solver.cu:1215-1219);
+* the Schur product uses a host-precomputed multiply plan
+  (:mod:`.symbolic`) + batched einsum + segment_sum instead of the
+  one-thread-per-triple atomic kernel (cuda_block_solver.cu:1327-1345);
+* LM trial push/pop (block_solver.cpp:431-439) disappears: stages are pure, a
+  rejected trial simply discards the candidate state;
+* the linear solve densifies the reduced camera system and runs a Cholesky
+  factorization (the sparse-supernodal Pallas path is the planned next step;
+  Hsc for KITTI-00 is 7932 x 7932, comfortably on-chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.ops import segment_sum
+
+from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet
+from ..models import MODEL_REGISTRY
+from ..ops.linalg import add_lambda, block_diag_solve, jte, jtj, jtj_cross, sym3x3_inv
+from ..ops.lie import se3_exp, se3_update_left
+from ..types import GraphArrays, PackedEdges, SystemBlocks
+from .symbolic import SchurStructure, build_schur_structure
+
+
+class EdgeSetMeta(NamedTuple):
+    """Static (hashable) per-edge-set compile-time info."""
+
+    kind: str
+    rk: int  # RobustKernelType value
+    delta: float
+    has_landmark: bool
+    mdim: int
+    nedges: int
+
+
+class SchurPlan(NamedTuple):
+    """Device-side gather/scatter plan for the Schur stage (constant per
+    structure, passed as jit arguments so XLA does not inline them)."""
+
+    ba_pose_idx: jnp.ndarray  # [Eba] int32 over concatenated landmark edge sets
+    ba_lm_idx: jnp.ndarray  # [Eba] int32
+    tri_ei: jnp.ndarray  # [T]
+    tri_ej: jnp.ndarray  # [T]
+    tri_k: jnp.ndarray  # [T]
+    blk_row: jnp.ndarray  # [nnz]
+    blk_col: jnp.ndarray  # [nnz]
+    diag_pos: jnp.ndarray  # [Pa]
+
+
+# ---------------------------------------------------------------------------
+# pure stage functions (jitted with static meta closures)
+# ---------------------------------------------------------------------------
+
+
+def compute_chi(
+    graph: GraphArrays, packed: tuple[PackedEdges, ...], metas: tuple[EdgeSetMeta, ...]
+) -> jnp.ndarray:
+    """Total chi2 over all edge sets (reference stage "2: Compute Error")."""
+    total = jnp.zeros((), dtype=graph.q.dtype)
+    for data, meta in zip(packed, metas):
+        model = MODEL_REGISTRY[meta.kind]
+        total = total + jnp.sum(model.chi(graph, data, meta.rk, meta.delta))
+    return total
+
+
+def build_system(
+    graph: GraphArrays,
+    packed: tuple[PackedEdges, ...],
+    metas: tuple[EdgeSetMeta, ...],
+    num_active_poses: int,
+    num_active_landmarks: int,
+) -> SystemBlocks:
+    """Assemble Hpp/bp/Hll/bl and per-edge Hpl blocks (stage "3: Build System").
+
+    ``segment_sum`` with ``num_segments = active count`` drops contributions of
+    fixed vertices (their dense indices are appended after the active ones),
+    replacing the reference's per-thread flag checks + atomic accumulation
+    (cuda_block_solver.cu:1199-1219).
+    """
+    Pa, La = num_active_poses, num_active_landmarks
+    dtype = graph.q.dtype
+    Hpp = jnp.zeros((Pa, 6, 6), dtype)
+    bp = jnp.zeros((Pa, 6), dtype)
+    Hll = jnp.zeros((La, 3, 3), dtype) if La > 0 else None
+    bl = jnp.zeros((La, 3), dtype) if La > 0 else None
+    Hpl_parts = []
+
+    for data, meta in zip(packed, metas):
+        model = MODEL_REGISTRY[meta.kind]
+        JP, JL, e, w = model.terms(graph, data, meta.rk, meta.delta)
+        Hpp = Hpp + segment_sum(jtj(JP, w), data.pose_idx, num_segments=Pa)
+        bp = bp + segment_sum(jte(JP, e, w), data.pose_idx, num_segments=Pa)
+        if meta.has_landmark:
+            Hll = Hll + segment_sum(jtj(JL, w), data.lm_idx, num_segments=La)
+            bl = bl + segment_sum(jte(JL, e, w), data.lm_idx, num_segments=La)
+            both_free = data.free_p * data.free_l
+            Hpl_parts.append(jtj_cross(JP, JL, w * both_free))
+
+    Hpl = jnp.concatenate(Hpl_parts, axis=0) if Hpl_parts else None
+    return SystemBlocks(Hpp=Hpp, bp=bp, Hll=Hll, bl=bl, Hpl=Hpl)
+
+
+def max_diagonal(sys: SystemBlocks) -> jnp.ndarray:
+    """Max Hessian diagonal entry for the initial lambda (block_solver.cpp:309-320)."""
+    m = jnp.max(jnp.diagonal(sys.Hpp, axis1=-2, axis2=-1))
+    if sys.Hll is not None:
+        m = jnp.maximum(m, jnp.max(jnp.diagonal(sys.Hll, axis1=-2, axis2=-1)))
+    return m
+
+
+def _cho_solve_dense(A: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense SPD solve; success = all pivots finite (zero-pivot analogue,
+    /root/reference/src/cholesky.hpp:59-92)."""
+    from jax.scipy.linalg import solve_triangular
+
+    L = jnp.linalg.cholesky(A)
+    y = solve_triangular(L, b, lower=True)
+    x = solve_triangular(L.T, y, lower=False)
+    success = jnp.all(jnp.isfinite(x))
+    return x, success
+
+
+def solve_schur(
+    sys: SystemBlocks,
+    lam: jnp.ndarray,
+    plan: SchurPlan,
+    num_active_poses: int,
+    num_active_landmarks: int,
+    nnz_blocks: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Damp, form the Schur complement, solve for poses, back-substitute
+    landmarks (stages "4: Schur Complement" + "6: Numerical Decomposition").
+
+    Math parity with gpu::computeBschure / computeHschure /
+    schurComplementPost (cuda_block_solver.cu:1286-1442):
+      bsc  = bp - Hpl inv(Hll) bl
+      Hsc  = (Hpp + lam I) - Hpl inv(Hll) Hpl^T        (on the block pattern)
+      xp   = Hsc^-1 bsc
+      xl   = inv(Hll) (bl - Hpl^T xp)
+    """
+    Pa, La = num_active_poses, num_active_landmarks
+    Hpp_d = add_lambda(sys.Hpp, lam)
+    Hll_d = add_lambda(sys.Hll, lam)
+    invHll = sym3x3_inv(Hll_d)  # [La,3,3]
+
+    # per-edge W = Hpl inv(Hll); zero rows for non-both-free edges keep the
+    # out-of-range gathers harmless (Hpl is already masked at assembly)
+    inv_e = invHll[plan.ba_lm_idx]
+    W = jnp.einsum("eab,ebc->eac", sys.Hpl, inv_e)  # [E,6,3]
+    bl_e = sys.bl[plan.ba_lm_idx]
+    bsc = sys.bp - segment_sum(
+        jnp.einsum("eab,eb->ea", W, bl_e), plan.ba_pose_idx, num_segments=Pa
+    )
+
+    # off-diagonal (and pair-diagonal) products: Hsc[k] -= W[ei] Hpl[ej]^T
+    prod = jnp.einsum("tab,tcb->tac", W[plan.tri_ei], sys.Hpl[plan.tri_ej])
+    blocks = -segment_sum(prod, plan.tri_k, num_segments=nnz_blocks)
+    blocks = blocks.at[plan.diag_pos].add(Hpp_d)
+
+    # densify the upper-tri block pattern with symmetric mirroring
+    dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
+    dense = dense.at[plan.blk_row, plan.blk_col].add(blocks)
+    mirror = jnp.where(
+        (plan.blk_row != plan.blk_col)[:, None, None],
+        jnp.swapaxes(blocks, -1, -2),
+        jnp.zeros_like(blocks),
+    )
+    dense = dense.at[plan.blk_col, plan.blk_row].add(mirror)
+    A = dense.transpose(0, 2, 1, 3).reshape(Pa * 6, Pa * 6)
+
+    xp_flat, success = _cho_solve_dense(A, bsc.reshape(-1))
+    xp = xp_flat.reshape(Pa, 6)
+
+    # landmark back-substitution
+    xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
+    hplt_xp = jnp.einsum("eab,ea->eb", sys.Hpl, xp_e)
+    cl = sys.bl - segment_sum(hplt_xp, plan.ba_lm_idx, num_segments=La)
+    xl = jnp.einsum("lab,lb->la", invHll, cl)
+    return xp, xl, success
+
+
+def solve_pose_only(sys: SystemBlocks, lam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pose-only path: Hpp is block-diagonal (every edge touches one pose), so
+    the damped system solves per 6x6 block — same solution as the reference's
+    densified cuSOLVER path (cuda_linear_solver.cpp:85-107)."""
+    Hpp_d = add_lambda(sys.Hpp, lam)
+    xp = block_diag_solve(Hpp_d, sys.bp)
+    return xp, jnp.all(jnp.isfinite(xp))
+
+
+def apply_update(
+    graph: GraphArrays,
+    xp: jnp.ndarray,
+    xl: Optional[jnp.ndarray],
+    num_active_poses: int,
+    num_active_landmarks: int,
+) -> GraphArrays:
+    """SE3-exp left-compose pose update + additive landmark update (stage
+    "7: Update Solution"; cuda_block_solver.cu:1444-1469)."""
+    Pa, La = num_active_poses, num_active_landmarks
+    dq, dt = se3_exp(xp)
+    q_new, t_new = se3_update_left(dq, dt, graph.q[:Pa], graph.t[:Pa])
+    q = jnp.concatenate([q_new, graph.q[Pa:]], axis=0)
+    t = jnp.concatenate([t_new, graph.t[Pa:]], axis=0)
+    if xl is not None and La > 0:
+        Xw = jnp.concatenate([graph.Xw[:La] + xl, graph.Xw[La:]], axis=0)
+    else:
+        Xw = graph.Xw
+    return GraphArrays(q=q, t=t, Xw=Xw)
+
+
+def compute_scale(
+    xp: jnp.ndarray,
+    xl: Optional[jnp.ndarray],
+    sys: SystemBlocks,
+    lam: jnp.ndarray,
+) -> jnp.ndarray:
+    """LM gain-ratio denominator ``sum x (lam x + b)``
+    (cuda_block_solver.cu:1471-1490)."""
+    s = jnp.sum(xp * (lam * xp + sys.bp))
+    if xl is not None and sys.bl is not None:
+        s = s + jnp.sum(xl * (lam * xl + sys.bl))
+    return s
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+class BlockSolver:
+    """Owns packed device arrays, the symbolic structure and compiled stages."""
+
+    def __init__(self, options):
+        self.options = options
+        if options.dtype == "float64" and not jax.config.jax_enable_x64:
+            # the f64 default is meaningless without x64; opt in on behalf of
+            # the user (JAX would otherwise silently truncate to f32)
+            jax.config.update("jax_enable_x64", True)
+        self.dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+        self.graph: Optional[GraphArrays] = None
+        self.packed: tuple[PackedEdges, ...] = ()
+        self.metas: tuple[EdgeSetMeta, ...] = ()
+        self.Pa = 0  # active pose count
+        self.La = 0  # active landmark count
+        self.P = 0
+        self.L = 0
+        self.do_schur = False
+        self.schur: Optional[SchurStructure] = None
+        self.plan: Optional[SchurPlan] = None
+        self._fns = None
+        self._pose_set: Optional[PoseVertexSet] = None
+        self._lm_set: Optional[LandmarkVertexSet] = None
+        self._edge_sets: list[EdgeSet] = []
+
+    # -- packing ------------------------------------------------------------
+
+    def initialize(self, edge_sets: Sequence[EdgeSet], vertex_sets) -> None:
+        """Pack the host graph into device arrays (stage "0: Initialize")."""
+        pose_sets = [v for v in vertex_sets if not v.is_marginilised()]
+        lm_sets = [v for v in vertex_sets if v.is_marginilised()]
+        if len(pose_sets) != 1 or len(lm_sets) > 1:
+            raise ValueError(
+                "BlockSolver supports exactly one pose vertex set and at most "
+                "one landmark vertex set"
+            )
+        self._pose_set = pose_sets[0]
+        self._lm_set = lm_sets[0] if lm_sets else None
+        self._edge_sets = [es for es in edge_sets if es.nedges() > 0]
+
+        self._pose_set.generate_estimate_data()
+        q, t = self._pose_set.estimates_array()
+        self.P = q.shape[0]
+        self.Pa = self._pose_set.get_active_size()
+
+        if self._lm_set is not None and len(self._lm_set) > 0:
+            self._lm_set.generate_estimate_data()
+            Xw = self._lm_set.estimates_array()
+            self.L = Xw.shape[0]
+            self.La = self._lm_set.get_active_size()
+        else:
+            Xw = np.zeros((0, 3), dtype=np.float64)
+            self.L = self.La = 0
+
+        self.do_schur = self.La > 0
+        dt = self.dtype
+        self.graph = GraphArrays(
+            q=jnp.asarray(q, dt), t=jnp.asarray(t, dt), Xw=jnp.asarray(Xw, dt)
+        )
+
+        packed, metas = [], []
+        for es in self._edge_sets:
+            data, meta = self._pack_edge_set(es)
+            packed.append(data)
+            metas.append(meta)
+        self.packed = tuple(packed)
+        self.metas = tuple(metas)
+        self._fns = None  # force recompile on new structure
+
+    def initialize_from_arrays(
+        self,
+        pose_q: np.ndarray,
+        pose_t: np.ndarray,
+        num_active_poses: int,
+        landmarks: np.ndarray,
+        num_active_landmarks: int,
+        edge_specs: Sequence[dict],
+    ) -> None:
+        """Fast packing path: build device state directly from arrays, skipping
+        per-edge Python objects (used by benchmarks and the distributed layer).
+
+        Each ``edge_spec`` dict has keys: ``kind, meas [E,K], pose_idx [E],
+        lm_idx [E], omega [E], cam ([5] or [E,5])`` and optional ``rk, delta``.
+        """
+        self._pose_set = None
+        self._lm_set = None
+        self._edge_sets = []
+        dt = self.dtype
+
+        self.P = pose_q.shape[0]
+        self.Pa = int(num_active_poses)
+        self.L = landmarks.shape[0]
+        self.La = int(num_active_landmarks)
+        self.do_schur = self.La > 0
+        self.graph = GraphArrays(
+            q=jnp.asarray(pose_q, dt),
+            t=jnp.asarray(pose_t, dt),
+            Xw=jnp.asarray(landmarks, dt),
+        )
+
+        packed, metas = [], []
+        for spec in edge_specs:
+            kind = spec["kind"]
+            model = MODEL_REGISTRY[kind]
+            meas = np.asarray(spec["meas"], dtype=np.float64)
+            E = meas.shape[0]
+            pose_idx = np.asarray(spec["pose_idx"], dtype=np.int32)
+            lm_idx = np.asarray(spec.get("lm_idx", np.zeros(E)), dtype=np.int32)
+            omega = np.asarray(spec["omega"], dtype=np.float64)
+            cam = np.asarray(spec.get("cam", np.zeros(5)), dtype=np.float64)
+            if cam.ndim == 1:
+                cam = np.broadcast_to(cam, (E, 5)).copy()
+            data = PackedEdges(
+                meas=jnp.asarray(meas, dt),
+                omega=jnp.asarray(omega, dt),
+                cam=jnp.asarray(cam, dt),
+                pose_idx=jnp.asarray(pose_idx),
+                lm_idx=jnp.asarray(lm_idx),
+                free_p=jnp.asarray((pose_idx < self.Pa).astype(np.float64), dt),
+                free_l=jnp.asarray((lm_idx < self.La).astype(np.float64), dt),
+                active=jnp.ones(E, dt),
+            )
+            meta = EdgeSetMeta(
+                kind=kind,
+                rk=int(spec.get("rk", 0)),
+                delta=float(spec.get("delta", 1.0)),
+                has_landmark=model.HAS_LANDMARK,
+                mdim=model.MDIM,
+                nedges=E,
+            )
+            packed.append(data)
+            metas.append(meta)
+        self.packed = tuple(packed)
+        self.metas = tuple(metas)
+        self._fns = None
+
+    def _pack_edge_set(self, es: EdgeSet) -> tuple[PackedEdges, EdgeSetMeta]:
+        """Pack one edge set to struct-of-arrays (the Arena-upload analogue,
+        optimisable_graph.hpp:475-601).  Edges whose vertices are all fixed are
+        dropped; others keep a float ``active`` mask."""
+        model = MODEL_REGISTRY[es.KIND]
+        opts = self.options
+
+        rows = []
+        for edge in es.edges:
+            if es.NVERTS == 1:
+                if edge.vertices[0].fixed:
+                    continue
+            else:
+                if edge.vertices[0].fixed and edge.vertices[1].fixed:
+                    continue
+            rows.append(edge)
+        E = len(rows)
+        es._active_edge_size = E
+
+        if es.KIND in ("mono", "stereo", "depth"):
+            K = es.MDIM
+            meas = np.zeros((E, K), dtype=np.float64)
+            for i, edge in enumerate(rows):
+                meas[i] = np.asarray(edge.measurement, dtype=np.float64).reshape(K)
+        else:
+            vecs = [e.measurement.to_vec() for e in rows]
+            meas = (
+                np.stack(vecs, axis=0)
+                if vecs
+                else np.zeros((0, 10 if es.KIND == "line" else 7))
+            )
+
+        omega = np.empty(E, dtype=np.float64)
+        cam = np.empty((E, 5), dtype=np.float64)
+        pose_idx = np.empty(E, dtype=np.int32)
+        lm_idx = np.zeros(E, dtype=np.int32)
+        free_p = np.empty(E, dtype=np.float64)
+        free_l = np.zeros(E, dtype=np.float64)
+
+        global_cam = es.camera.to_vec()
+        for i, edge in enumerate(rows):
+            omega[i] = edge.information if opts.per_edge_information else es.information
+            if opts.per_edge_camera and edge.camera is not None:
+                cam[i] = edge.camera.to_vec()
+            else:
+                cam[i] = global_cam
+            v0 = edge.vertices[0]
+            pose_idx[i] = v0.index
+            free_p[i] = 0.0 if v0.fixed else 1.0
+            if es.NVERTS == 2:
+                v1 = edge.vertices[1]
+                lm_idx[i] = v1.index
+                free_l[i] = 0.0 if v1.fixed else 1.0
+
+        active = np.array(
+            [1.0 if e.is_active else 0.0 for e in rows], dtype=np.float64
+        )
+
+        dt = self.dtype
+        data = PackedEdges(
+            meas=jnp.asarray(meas, dt),
+            omega=jnp.asarray(omega, dt),
+            cam=jnp.asarray(cam, dt),
+            pose_idx=jnp.asarray(pose_idx),
+            lm_idx=jnp.asarray(lm_idx),
+            free_p=jnp.asarray(free_p, dt),
+            free_l=jnp.asarray(free_l, dt),
+            active=jnp.asarray(active, dt),
+        )
+        meta = EdgeSetMeta(
+            kind=es.KIND,
+            rk=int(es.robust_kernel_type),
+            delta=float(es.robust_delta),
+            has_landmark=model.HAS_LANDMARK,
+            mdim=es.MDIM,
+            nedges=E,
+        )
+        return data, meta
+
+    # -- structure ------------------------------------------------------------
+
+    def build_structure(self) -> None:
+        """Host symbolic analysis (stages "1: Build Structure" +
+        "5: Symbolic Decomposition")."""
+        if not self.do_schur:
+            self.schur = None
+            self.plan = None
+            self._compile()
+            return
+
+        pose_parts, lm_parts = [], []
+        for data, meta in zip(self.packed, self.metas):
+            if meta.has_landmark:
+                pose_parts.append(np.asarray(data.pose_idx))
+                lm_parts.append(np.asarray(data.lm_idx))
+        ba_pose_idx = (
+            np.concatenate(pose_parts) if pose_parts else np.zeros(0, dtype=np.int32)
+        )
+        ba_lm_idx = (
+            np.concatenate(lm_parts) if lm_parts else np.zeros(0, dtype=np.int32)
+        )
+
+        self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
+        s = self.schur
+        self.plan = SchurPlan(
+            ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
+            ba_lm_idx=jnp.asarray(ba_lm_idx, jnp.int32),
+            tri_ei=jnp.asarray(s.tri_ei),
+            tri_ej=jnp.asarray(s.tri_ej),
+            tri_k=jnp.asarray(s.tri_k),
+            blk_row=jnp.asarray(s.blk_row),
+            blk_col=jnp.asarray(s.blk_col),
+            diag_pos=jnp.asarray(s.diag_pos),
+        )
+        self._compile()
+
+    # -- compiled stage wrappers ----------------------------------------------
+
+    def _compile(self):
+        metas = self.metas
+        Pa, La = self.Pa, self.La
+        do_schur = self.do_schur
+        nnz = self.schur.nnz_blocks if self.schur is not None else 0
+
+        @jax.jit
+        def head(graph, packed):
+            chi = compute_chi(graph, packed, metas)
+            sys = build_system(graph, packed, metas, Pa, La)
+            return chi, sys
+
+        @jax.jit
+        def maxdiag(sys):
+            return max_diagonal(sys)
+
+        @jax.jit
+        def trial(graph, sys, lam, packed, plan):
+            if do_schur:
+                xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz)
+            else:
+                xp, success = solve_pose_only(sys, lam)
+                xl = None
+            new_graph = apply_update(graph, xp, xl, Pa, La)
+            Fhat = compute_chi(new_graph, packed, metas)
+            scale = compute_scale(xp, xl, sys, lam)
+            return new_graph, Fhat, scale, success
+
+        @jax.jit
+        def chi_only(graph, packed):
+            return compute_chi(graph, packed, metas)
+
+        @jax.jit
+        def per_set_chi(graph, packed):
+            out = []
+            for data, meta in zip(packed, metas):
+                model = MODEL_REGISTRY[meta.kind]
+                out.append(model.chi(graph, data, meta.rk, meta.delta))
+            return tuple(out)
+
+        self._fns = dict(
+            head=head, maxdiag=maxdiag, trial=trial, chi_only=chi_only,
+            per_set_chi=per_set_chi,
+        )
+
+    # -- stage API used by the LM loop -----------------------------------------
+
+    def head(self):
+        return self._fns["head"](self.graph, self.packed)
+
+    def max_diagonal(self, sys):
+        return float(self._fns["maxdiag"](sys))
+
+    def trial(self, sys, lam):
+        lam = jnp.asarray(lam, self.dtype)
+        return self._fns["trial"](self.graph, sys, lam, self.packed, self.plan)
+
+    def accept(self, new_graph: GraphArrays) -> None:
+        self.graph = new_graph
+
+    # -- outliers ---------------------------------------------------------------
+
+    def update_edges(self) -> None:
+        """Flag outlier edges (chi2 above the per-set threshold) and mask them
+        out for subsequent optimize() calls.  Masking keeps shapes static —
+        the TPU-native replacement for the reference's edge deactivation +
+        structure rebuild (optimisable_graph.hpp:604-640)."""
+        if not self._edge_sets or not any(
+            es.outlier_threshold > 0.0 for es in self._edge_sets
+        ):
+            return
+        chis = self._fns["per_set_chi"](self.graph, self.packed)
+        new_packed = []
+        for es, data, chi_e in zip(self._edge_sets, self.packed, chis):
+            if es.outlier_threshold > 0.0:
+                keep = np.asarray(chi_e <= es.outlier_threshold) & (
+                    np.asarray(data.active) > 0
+                )
+                new_active = jnp.asarray(keep.astype(np.float64), self.dtype)
+                data = data._replace(active=new_active)
+                n_out = int(data.active.shape[0] - keep.sum())
+                es._outlier_count = n_out
+                # write back into the host edge objects
+                i = 0
+                for edge in es.edges:
+                    if es.NVERTS == 1:
+                        packed_edge = not edge.vertices[0].fixed
+                    else:
+                        packed_edge = not (
+                            edge.vertices[0].fixed and edge.vertices[1].fixed
+                        )
+                    if packed_edge:
+                        if not keep[i]:
+                            edge.inactivate()
+                        i += 1
+            new_packed.append(data)
+        self.packed = tuple(new_packed)
+
+    # -- finalize ----------------------------------------------------------------
+
+    def finalize(self) -> None:
+        """Download estimates back into the host vertex objects
+        (block_solver.cpp:441-458)."""
+        if self._pose_set is None:
+            return  # array-initialized problems keep results in self.graph
+        q = np.asarray(self.graph.q, dtype=np.float64)
+        t = np.asarray(self.graph.t, dtype=np.float64)
+        self._pose_set.write_back(q, t)
+        if self._lm_set is not None and self.L > 0:
+            Xw = np.asarray(self.graph.Xw, dtype=np.float64)
+            self._lm_set.write_back(Xw)
+
+    def nedges(self) -> int:
+        return sum(m.nedges for m in self.metas)

@@ -1,0 +1,54 @@
+"""Shared array-container types (pytrees) passed between solver stages."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class PackedEdges(NamedTuple):
+    """Struct-of-arrays packed edge set (device resident, statically shaped).
+
+    The TPU-native analogue of the reference's single-arena edge payload
+    (/root/reference/src/optimisable_graph.hpp:475-601): measurements, vertex
+    indices, weights and camera intrinsics for every *packed* edge (edges whose
+    vertices are all fixed are dropped at pack time, like the reference's
+    active-edge filter, optimisable_graph.hpp:487-504).
+
+    ``active`` is a float mask (1.0 = active, 0.0 = deactivated/outlier) —
+    masking replaces the reference's dynamic edge removal + structure rebuild
+    (optimisable_graph.hpp:604-640) so shapes stay static under jit.
+    """
+
+    meas: jnp.ndarray  # [E, K] flattened measurement payload
+    omega: jnp.ndarray  # [E] scalar information
+    cam: jnp.ndarray  # [E, 5] fx fy cx cy bf (broadcast if global camera)
+    pose_idx: jnp.ndarray  # [E] int32 dense pose index
+    lm_idx: jnp.ndarray  # [E] int32 dense landmark index (0 if pose-only)
+    free_p: jnp.ndarray  # [E] float mask: pose vertex not fixed
+    free_l: jnp.ndarray  # [E] float mask: landmark vertex not fixed (0 if pose-only)
+    active: jnp.ndarray  # [E] float mask: 1.0 active, 0.0 outlier
+
+
+class GraphArrays(NamedTuple):
+    """Packed vertex state: the device 'solution vector'.
+
+    Poses are quaternion+translation (7 scalars) and landmarks 3, in the same
+    active-first order as the reference solution layout
+    (/root/reference/src/block_solver.cpp:59-77).
+    """
+
+    q: jnp.ndarray  # [P, 4] pose quaternions (xyzw), active first
+    t: jnp.ndarray  # [P, 3] pose translations
+    Xw: jnp.ndarray  # [L, 3] landmarks, active first
+
+
+class SystemBlocks(NamedTuple):
+    """The assembled block system for one LM iteration (undamped)."""
+
+    Hpp: jnp.ndarray  # [Pa, 6, 6]
+    bp: jnp.ndarray  # [Pa, 6]
+    Hll: Optional[jnp.ndarray]  # [La, 3, 3] or None
+    bl: Optional[jnp.ndarray]  # [La, 3] or None
+    Hpl: Optional[jnp.ndarray]  # [Eba, 6, 3] per-edge pose-landmark blocks or None

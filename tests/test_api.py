@@ -1,0 +1,186 @@
+"""User-facing graph API tests: build graphs with vertex/edge objects like the
+reference samples do (samples/sample_ba_from_file/main.cpp:78-199)."""
+
+import numpy as np
+import pytest
+
+import cuda_bundle_adjustment_tpu as tba
+from cuda_bundle_adjustment_tpu.io.synthetic import make_ba_problem
+
+
+def _build_object_graph(problem, EdgeCls, EdgeSetCls):
+    """Assemble the object graph from a packed problem (ids = packed indices)."""
+    poses = tba.PoseVertexSet()
+    landmarks = tba.LandmarkVertexSet()
+    Pa = problem.num_active_poses
+    for i in range(problem.pose_q.shape[0]):
+        fixed = i >= Pa
+        poses.add_vertex(
+            tba.PoseVertex(i, tba.Se3(problem.pose_q[i], problem.pose_t[i]), fixed)
+        )
+    for j in range(problem.landmarks.shape[0]):
+        landmarks.add_vertex(tba.LandmarkVertex(j, problem.landmarks[j]))
+
+    cam = tba.Camera(*problem.cam.tolist())
+    edge_set = EdgeSetCls()
+    edge_set.set_camera(cam)
+    edge_set.set_information(1.0)
+    for e in range(len(problem.pose_idx)):
+        edge = EdgeCls()
+        edge.set_vertex(poses.get_vertex(int(problem.pose_idx[e])), 0)
+        edge.set_vertex(landmarks.get_vertex(int(problem.lm_idx[e])), 1)
+        edge.set_measurement(problem.meas[e])
+        edge.set_information(1.0)
+        edge_set.add_edge(edge)
+    return poses, landmarks, edge_set
+
+
+def test_object_api_matches_array_api():
+    problem = make_ba_problem(
+        num_poses=10, num_landmarks=60, mean_obs_per_landmark=4.0, kind="mono", seed=13
+    )
+    poses, landmarks, edge_set = _build_object_graph(
+        problem, tba.MonoEdge, tba.MonoEdgeSet
+    )
+
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(edge_set)
+    opt.initialize()
+    opt.optimize(4)
+    trace_obj = [s.chi2 for s in opt.batch_statistics().get()]
+
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+
+    opt2 = optimizer_from_problem(problem)
+    opt2.optimize(4)
+    trace_arr = [s.chi2 for s in opt2.batch_statistics().get()]
+    np.testing.assert_allclose(trace_obj, trace_arr, rtol=1e-9)
+
+    # estimates written back into the vertex objects
+    v0 = poses.get_vertex(0)
+    assert np.all(np.isfinite(v0.estimate.q))
+    # fixed pose untouched
+    v_fixed = poses.get_vertex(problem.pose_q.shape[0] - 1)
+    np.testing.assert_array_equal(
+        v_fixed.estimate.q, problem.pose_q[problem.pose_q.shape[0] - 1]
+    )
+
+
+def test_mixed_edge_sets():
+    """Mono + stereo edge sets over the same vertices, like ba_kitti inputs."""
+    pm = make_ba_problem(num_poses=8, num_landmarks=40, kind="mono", seed=17)
+    ps = make_ba_problem(num_poses=8, num_landmarks=40, kind="stereo", seed=17)
+
+    poses, landmarks, mono_set = _build_object_graph(pm, tba.MonoEdge, tba.MonoEdgeSet)
+    cam = tba.Camera(*ps.cam.tolist())
+    stereo_set = tba.StereoEdgeSet()
+    stereo_set.set_camera(cam)
+    stereo_set.set_information(1.0)
+    for e in range(0, len(ps.pose_idx), 2):  # subset of stereo observations
+        edge = tba.StereoEdge()
+        edge.set_vertex(poses.get_vertex(int(ps.pose_idx[e])), 0)
+        edge.set_vertex(landmarks.get_vertex(int(ps.lm_idx[e])), 1)
+        edge.set_measurement(ps.meas[e])
+        edge.set_information(1.0)
+        stereo_set.add_edge(edge)
+
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(mono_set)
+    opt.add_edge_set(stereo_set)
+    opt.initialize()
+    opt.optimize(5)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert trace[-1] < trace[0]
+    assert opt.solver.nedges() == mono_set.nactive_edges() + stereo_set.nactive_edges()
+
+
+def test_outlier_threshold_deactivates_edges():
+    problem = make_ba_problem(
+        num_poses=8, num_landmarks=40, kind="mono", seed=19, noise_px=0.5
+    )
+    poses, landmarks, edge_set = _build_object_graph(
+        problem, tba.MonoEdge, tba.MonoEdgeSet
+    )
+    # corrupt some measurements to create gross outliers
+    for edge in edge_set.edges[::10]:
+        edge.measurement = np.asarray(edge.measurement) + 500.0
+
+    edge_set.set_outlier_threshold(100.0)
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(edge_set)
+    opt.initialize()
+    opt.optimize(3)
+
+    assert edge_set.get_outlier_count() > 0
+    n_inactive = sum(1 for e in edge_set.edges if not e.is_active)
+    assert n_inactive == edge_set.get_outlier_count()
+
+    # a second optimize() excludes the outliers and reaches a lower chi2
+    opt.initialize()
+    opt.optimize(5)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert np.isfinite(trace[-1])
+
+
+def test_per_edge_information_and_camera():
+    problem = make_ba_problem(num_poses=6, num_landmarks=30, kind="mono", seed=23)
+    poses, landmarks, edge_set = _build_object_graph(
+        problem, tba.MonoEdge, tba.MonoEdgeSet
+    )
+    cam = tba.Camera(*problem.cam.tolist())
+    for i, edge in enumerate(edge_set.edges):
+        edge.set_information(1.0 + 0.01 * (i % 5))
+        edge.set_camera(cam)
+
+    options = tba.GraphOptimisationOptions(
+        per_edge_information=True, per_edge_camera=True
+    )
+    opt = tba.TpuGraphOptimisation.create(options)
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(edge_set)
+    opt.initialize()
+    opt.optimize(3)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert trace[-1] < trace[0]
+
+
+def test_pose_only_plane_graph():
+    """Point-to-plane ICP graph: single pose vertex set, no landmarks."""
+    rng = np.random.default_rng(29)
+    # ground-truth pose: identity; points on known planes
+    poses = tba.PoseVertexSet()
+    q0 = np.array([0.02, -0.01, 0.015, 1.0])
+    q0 /= np.linalg.norm(q0)
+    poses.add_vertex(tba.PoseVertex(0, tba.Se3(q0, [0.1, -0.05, 0.2]), False))
+
+    plane_set = tba.PlaneEdgeSet()
+    plane_set.set_information(1.0)
+    for _ in range(60):
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        d = rng.normal()
+        # point on the plane => zero residual at identity
+        p = n * d + np.cross(n, rng.normal(size=3))
+        edge = tba.PlaneEdge()
+        edge.set_vertex(poses.get_vertex(0), 0)
+        edge.set_measurement(tba.PointToPlaneMatch(n, d, p))
+        edge.set_information(1.0)
+        plane_set.add_edge(edge)
+
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(poses)
+    opt.add_edge_set(plane_set)
+    opt.initialize()
+    opt.optimize(10)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert trace[-1] < 1e-12  # should recover identity almost exactly
+    est = poses.get_vertex(0).estimate
+    np.testing.assert_allclose(est.t, 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.abs(est.q[3]), 1.0, atol=1e-6)
