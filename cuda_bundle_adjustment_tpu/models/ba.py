@@ -42,6 +42,10 @@ def _gather(graph: GraphArrays, data: PackedEdges):
 def _chi_projective(residual_fn, graph, data, rk, delta):
     q, t, Xw = _gather(graph, data)
     e, _ = residual_fn(q, t, Xw, data.meas, data.cam)
+    # select (not multiply) so inert padding edges with degenerate geometry
+    # (z = 0 => inf residuals) cannot poison the reduction with NaNs
+    mask = data.active > 0
+    e = jnp.where(mask[..., None], e, 0.0)
     x = data.omega * jnp.sum(e * e, axis=-1)
     return robustify(rk, delta, x) * data.active
 
@@ -49,9 +53,13 @@ def _chi_projective(residual_fn, graph, data, rk, delta):
 def _terms_projective(residual_fn, jac_fn, graph, data, rk, delta):
     q, t, Xw = _gather(graph, data)
     e, Xc = residual_fn(q, t, Xw, data.meas, data.cam)
+    mask = data.active > 0
+    e = jnp.where(mask[..., None], e, 0.0)
     x = data.omega * jnp.sum(e * e, axis=-1)
     w = data.omega * robust_derivative(rk, delta, x) * data.active
     JP, JL = jac_fn(Xc, q, data.cam)
+    JP = jnp.where(mask[..., None, None], JP, 0.0)
+    JL = jnp.where(mask[..., None, None], JL, 0.0)
     return JP, JL, e, w
 
 

@@ -1,0 +1,377 @@
+"""Multi-chip distributed bundle adjustment via shard_map + collectives.
+
+New scope over the single-GPU reference (SURVEY.md section 2.3): the scaling
+axes are edges (largest) and landmarks.  The decomposition is the standard
+distributed Schur reduction:
+
+* poses are REPLICATED over the mesh (the reduced camera system is small:
+  6*P ~ 8k rows for KITTI-00);
+* landmarks are SHARDED; every edge lives on its landmark's shard, so
+  Hll/bl/Hpl and the per-landmark Schur multiply plan are shard-local;
+* per-shard partial Hpp/bp/bsc/Hsc-blocks are combined with ``psum`` over the
+  mesh (rides ICI), after which every device holds the replicated reduced
+  system and solves it redundantly (cheaper than sharding a 8k x 8k solve);
+* the landmark back-substitution is embarrassingly shard-local.
+
+One jitted ``distributed_lm_step`` performs a full damped LM trial step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.ops import segment_sum
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import MODEL_REGISTRY
+from ..ops.linalg import add_lambda, jte, jtj, jtj_cross, sym3x3_inv
+from ..ops.lie import se3_exp, se3_update_left
+from ..solver.symbolic import build_schur_structure
+from ..types import GraphArrays
+
+
+class ShardedProblem(NamedTuple):
+    """Device-sharded BA problem (leading axis = mesh shards, flattened)."""
+
+    # replicated
+    pose_q: jnp.ndarray  # [P, 4]
+    pose_t: jnp.ndarray  # [P, 3]
+    # sharded along the leading axis (D * per-shard size)
+    Xw: jnp.ndarray  # [D*Ls, 3]
+    meas: jnp.ndarray  # [D*Es, M]
+    omega: jnp.ndarray  # [D*Es]
+    cam: jnp.ndarray  # [D*Es, 5]
+    pose_idx: jnp.ndarray  # [D*Es] global pose index
+    lm_local: jnp.ndarray  # [D*Es] shard-local landmark index
+    active: jnp.ndarray  # [D*Es] 1.0 real edge, 0.0 padding
+    tri_ei: jnp.ndarray  # [D*Ts] shard-local edge index
+    tri_ej: jnp.ndarray  # [D*Ts]
+    tri_k: jnp.ndarray  # [D*Ts] global Hsc block id (nnz => padding)
+    # static
+    num_shards: int
+    edges_per_shard: int
+    lms_per_shard: int
+    tris_per_shard: int
+    num_active_poses: int
+    nnz_blocks: int
+    blk_row: jnp.ndarray  # [nnz] replicated
+    blk_col: jnp.ndarray
+    diag_pos: jnp.ndarray  # [Pa]
+    kind: str
+
+
+def shard_problem(problem, num_shards: int) -> ShardedProblem:
+    """Partition a :class:`~..io.synthetic.BAProblem` by landmark.
+
+    Landmarks are dealt round-robin to shards (balancing edge counts would be
+    a refinement); each edge follows its landmark.  All per-shard arrays are
+    padded to the max shard size with inert entries.
+    """
+    D = num_shards
+    Pa = problem.num_active_poses
+    La = problem.num_active_landmarks
+    L = problem.landmarks.shape[0]
+    E = problem.meas.shape[0]
+
+    lm_shard = np.arange(L) % D  # shard of each landmark
+    lm_local = np.arange(L) // D  # local slot of each landmark
+    Ls = int(lm_local.max()) + 1 if L else 1
+
+    edge_shard = lm_shard[problem.lm_idx]
+    order = np.argsort(edge_shard, kind="stable")
+    counts = np.bincount(edge_shard, minlength=D)
+    Es = int(counts.max()) if E else 1
+
+    M = problem.meas.shape[1]
+    meas = np.zeros((D, Es, M))
+    omega = np.zeros((D, Es))
+    cam = np.zeros((D, Es, 5))
+    pose_idx = np.full((D, Es), Pa, dtype=np.int32)  # pad -> dropped by segsum
+    lml = np.zeros((D, Es), dtype=np.int32)
+    active = np.zeros((D, Es))
+
+    cam_full = (
+        problem.cam if problem.cam.ndim == 2 else np.broadcast_to(problem.cam, (E, 5))
+    )
+    starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    for d in range(D):
+        sel = order[starts[d] : starts[d] + counts[d]]
+        n = len(sel)
+        meas[d, :n] = problem.meas[sel]
+        omega[d, :n] = problem.omega[sel]
+        cam[d, :n] = cam_full[sel]
+        pose_idx[d, :n] = problem.pose_idx[sel]
+        lml[d, :n] = lm_local[problem.lm_idx[sel]]
+        active[d, :n] = 1.0
+
+    # landmarks: [D, Ls, 3]
+    Xw = np.zeros((D, Ls, 3))
+    Xw[lm_shard, lm_local] = problem.landmarks
+
+    # global Hsc pattern from ALL edges (landmark pairing is shard-local, so
+    # the union over shards equals the global pattern)
+    s = build_schur_structure(problem.pose_idx, problem.lm_idx, Pa, La)
+
+    # per-shard triples in LOCAL edge coordinates
+    # recompute per shard using local (pose, lm) arrays; map k via global keys
+    key_to_k = {}
+    for k in range(s.nnz_blocks):
+        key_to_k[(int(s.blk_row[k]), int(s.blk_col[k]))] = k
+
+    tri_parts = []
+    for d in range(D):
+        n = counts[d]
+        sd = build_schur_structure(
+            pose_idx[d, :n], lml[d, :n], Pa, Ls
+        )
+        # map each local pair to the global block id
+        kk = np.array(
+            [key_to_k[(int(r), int(c))] for r, c in zip(sd.blk_row, sd.blk_col)],
+            dtype=np.int32,
+        )
+        tri_parts.append((sd.tri_ei, sd.tri_ej, kk[sd.tri_k]))
+    Ts = max(max((p[0].size for p in tri_parts), default=1), 1)
+    tri_ei = np.zeros((D, Ts), dtype=np.int32)
+    tri_ej = np.zeros((D, Ts), dtype=np.int32)
+    tri_k = np.full((D, Ts), s.nnz_blocks, dtype=np.int32)  # pad -> dropped
+    for d, (ei, ej, kk) in enumerate(tri_parts):
+        tri_ei[d, : ei.size] = ei
+        tri_ej[d, : ej.size] = ej
+        tri_k[d, : kk.size] = kk
+
+    return ShardedProblem(
+        pose_q=jnp.asarray(problem.pose_q),
+        pose_t=jnp.asarray(problem.pose_t),
+        Xw=jnp.asarray(Xw.reshape(D * Ls, 3)),
+        meas=jnp.asarray(meas.reshape(D * Es, M)),
+        omega=jnp.asarray(omega.reshape(D * Es)),
+        cam=jnp.asarray(cam.reshape(D * Es, 5)),
+        pose_idx=jnp.asarray(pose_idx.reshape(D * Es)),
+        lm_local=jnp.asarray(lml.reshape(D * Es)),
+        active=jnp.asarray(active.reshape(D * Es)),
+        tri_ei=jnp.asarray(tri_ei.reshape(D * Ts)),
+        tri_ej=jnp.asarray(tri_ej.reshape(D * Ts)),
+        tri_k=jnp.asarray(tri_k.reshape(D * Ts)),
+        num_shards=D,
+        edges_per_shard=Es,
+        lms_per_shard=Ls,
+        tris_per_shard=Ts,
+        num_active_poses=Pa,
+        nnz_blocks=s.nnz_blocks,
+        blk_row=jnp.asarray(s.blk_row),
+        blk_col=jnp.asarray(s.blk_col),
+        diag_pos=jnp.asarray(s.diag_pos),
+        kind=problem.kind,
+    )
+
+
+def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta: float = 1.0):
+    """Build the jitted full distributed LM trial step over ``mesh``.
+
+    Returns ``step(q, t, Xw_sh, lam) -> (q', t', Xw_sh', chi_before, chi_after,
+    scale, success)`` where the state arrays carry the shardings described in
+    the module docstring.
+    """
+    axis = mesh.axis_names[0]
+    model = MODEL_REGISTRY[sp.kind]
+    Pa = sp.num_active_poses
+    Ls = sp.lms_per_shard
+    nnz = sp.nnz_blocks
+
+    def _chi_and_system(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active):
+        """Shard-local chi + block system (poses replicated, landmarks local)."""
+
+        class _D:  # PackedEdges-shaped adapter for the model fns
+            pass
+
+        data = _D()
+        data.meas, data.omega, data.cam = meas, omega, cam
+        data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
+        graph = GraphArrays(q=q, t=t, Xw=Xw)
+
+        chi = jnp.sum(model.chi(graph, data, rk, delta))
+        chi = jax.lax.psum(chi, axis)
+
+        JP, JL, e, w = model.terms(graph, data, rk, delta)
+        Hpp = jax.lax.psum(segment_sum(jtj(JP, w), pose_idx, num_segments=Pa), axis)
+        bp = jax.lax.psum(segment_sum(jte(JP, e, w), pose_idx, num_segments=Pa), axis)
+        Hll = segment_sum(jtj(JL, w), lm_local, num_segments=Ls)
+        bl = segment_sum(jte(JL, e, w), lm_local, num_segments=Ls)
+        free_both = w * (pose_idx < Pa)  # landmark always free here (padding w=0)
+        Hpl = jtj_cross(JP, JL, free_both)
+        return chi, Hpp, bp, Hll, bl, Hpl
+
+    def _step(
+        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active,
+        tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, lam,
+    ):
+        chi0, Hpp, bp, Hll, bl, Hpl = _chi_and_system(
+            q, t, Xw, meas, omega, cam, pose_idx, lm_local, active
+        )
+
+        Hpp_d = add_lambda(Hpp, lam)
+        Hll_d = add_lambda(Hll, lam)
+        invHll = sym3x3_inv(Hll_d)
+
+        W = jnp.einsum("eab,ebc->eac", Hpl, invHll[lm_local])
+        bsc = bp - jax.lax.psum(
+            segment_sum(
+                jnp.einsum("eab,eb->ea", W, bl[lm_local]), pose_idx, num_segments=Pa
+            ),
+            axis,
+        )
+
+        prod = jnp.einsum("tab,tcb->tac", W[tri_ei], Hpl[tri_ej])
+        blocks = -jax.lax.psum(segment_sum(prod, tri_k, num_segments=nnz), axis)
+        blocks = blocks.at[diag_pos].add(Hpp_d)
+
+        dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
+        dense = dense.at[blk_row, blk_col].add(blocks)
+        mirror = jnp.where(
+            (blk_row != blk_col)[:, None, None],
+            jnp.swapaxes(blocks, -1, -2),
+            jnp.zeros_like(blocks),
+        )
+        dense = dense.at[blk_col, blk_row].add(mirror)
+        A = dense.transpose(0, 2, 1, 3).reshape(Pa * 6, Pa * 6)
+
+        from jax.scipy.linalg import solve_triangular
+
+        Lc = jnp.linalg.cholesky(A)
+        y = solve_triangular(Lc, bsc.reshape(-1), lower=True)
+        xp_flat = solve_triangular(Lc.T, y, lower=False)
+        success = jnp.all(jnp.isfinite(xp_flat))
+        xp = xp_flat.reshape(Pa, 6)
+
+        # shard-local landmark back-substitution
+        xp_e = xp[jnp.minimum(pose_idx, Pa - 1)]
+        cl = bl - segment_sum(
+            jnp.einsum("eab,ea->eb", Hpl, xp_e), lm_local, num_segments=Ls
+        )
+        xl = jnp.einsum("lab,lb->la", invHll, cl)
+
+        # update (poses replicated, landmarks local)
+        dq, dt = se3_exp(xp)
+        q_new, t_new = se3_update_left(dq, dt, q[:Pa], t[:Pa])
+        q2 = jnp.concatenate([q_new, q[Pa:]], axis=0)
+        t2 = jnp.concatenate([t_new, t[Pa:]], axis=0)
+        Xw2 = Xw + xl
+
+        chi1, *_ = _chi_and_system(
+            q2, t2, Xw2, meas, omega, cam, pose_idx, lm_local, active
+        )
+        scale = jnp.sum(xp * (lam * xp + bp)) + jax.lax.psum(
+            jnp.sum(xl * (lam * xl + bl)), axis
+        )
+        return q2, t2, Xw2, chi0, chi1, scale, success
+
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(q, t, Xw_sh, lam):
+        return sharded(
+            q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
+            sp.active, sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
+            sp.diag_pos, lam,
+        )
+
+    return step
+
+
+def distributed_optimize(
+    mesh: Mesh, sp: ShardedProblem, niterations: int, rk: int = 0, delta: float = 1.0
+):
+    """Distributed LM loop (same accept/reject semantics as the single-chip
+    optimiser).  Returns the chi2 trace and the final state."""
+    import math
+
+    step = make_distributed_lm_step(mesh, sp, rk, delta)
+    q, t, Xw = sp.pose_q, sp.pose_t, sp.Xw
+
+    # initial lambda: tau * max diagonal, computed from one probe step's system
+    # (cheap approximation: use chi-based tau scaling like the single-chip path
+    # would; here we simply run with tau * max diag via a dedicated pass)
+    lam = None
+    nu = 2.0
+    F = None
+    trace = []
+    for it in range(niterations):
+        if lam is None:
+            lam = 1e-5 * _max_diagonal(mesh, sp, q, t, Xw, rk, delta)
+        rho = -1.0
+        qcnt = 0
+        while qcnt < 10 and rho < 0:
+            q2, t2, Xw2, chi0, chi1, scale, success = step(q, t, Xw, lam)
+            F = float(chi0)
+            Fhat = float(chi1)
+            sc = float(scale) + 1e-3
+            Fdiff = Fhat - F
+            rho = (F - Fhat) / sc if bool(success) else -1.0
+            if rho > 0:
+                x = 2.0 * rho - 1.0
+                lam *= min(max(1.0 - x * x * x, 1.0 / 3.0), 2.0 / 3.0)
+                nu = 2.0
+                q, t, Xw = q2, t2, Xw2
+                F = Fhat
+                break
+            else:
+                lam *= nu
+                nu *= 2.0
+                if not math.isfinite(lam) or Fdiff < 1e-4:
+                    break
+                qcnt += 1
+        trace.append(F)
+        if qcnt == 10 or rho < 1e-6 or not math.isfinite(lam):
+            break
+    return trace, (q, t, Xw)
+
+
+def _max_diagonal(mesh, sp, q, t, Xw, rk, delta):
+    """Replicated max Hessian diagonal over the mesh."""
+    axis = mesh.axis_names[0]
+    model = MODEL_REGISTRY[sp.kind]
+    Pa, Ls = sp.num_active_poses, sp.lms_per_shard
+
+    def _md(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active):
+        class _D:
+            pass
+
+        data = _D()
+        data.meas, data.omega, data.cam = meas, omega, cam
+        data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
+        graph = GraphArrays(q=q, t=t, Xw=Xw)
+        JP, JL, e, w = model.terms(graph, data, rk, delta)
+        Hpp = jax.lax.psum(segment_sum(jtj(JP, w), pose_idx, num_segments=Pa), axis)
+        Hll = segment_sum(jtj(JL, w), lm_local, num_segments=Ls)
+        m = jnp.maximum(
+            jnp.max(jnp.diagonal(Hpp, axis1=-2, axis2=-1)),
+            jnp.max(jnp.diagonal(Hll, axis1=-2, axis2=-1)),
+        )
+        return jax.lax.pmax(m, axis)
+
+    fn = jax.shard_map(
+        _md,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return float(
+        jax.jit(fn)(
+            q, t, Xw, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local, sp.active
+        )
+    )

@@ -497,63 +497,29 @@ class BlockSolver:
         self._compile()
 
     # -- compiled stage wrappers ----------------------------------------------
+    # module-level jits with static (hashable) meta args: the compile cache is
+    # shared across solver instances with the same structure, so re-packing a
+    # graph never retraces
 
     def _compile(self):
-        metas = self.metas
-        Pa, La = self.Pa, self.La
-        do_schur = self.do_schur
-        nnz = self.schur.nnz_blocks if self.schur is not None else 0
-
-        @jax.jit
-        def head(graph, packed):
-            chi = compute_chi(graph, packed, metas)
-            sys = build_system(graph, packed, metas, Pa, La)
-            return chi, sys
-
-        @jax.jit
-        def maxdiag(sys):
-            return max_diagonal(sys)
-
-        @jax.jit
-        def trial(graph, sys, lam, packed, plan):
-            if do_schur:
-                xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz)
-            else:
-                xp, success = solve_pose_only(sys, lam)
-                xl = None
-            new_graph = apply_update(graph, xp, xl, Pa, La)
-            Fhat = compute_chi(new_graph, packed, metas)
-            scale = compute_scale(xp, xl, sys, lam)
-            return new_graph, Fhat, scale, success
-
-        @jax.jit
-        def chi_only(graph, packed):
-            return compute_chi(graph, packed, metas)
-
-        @jax.jit
-        def per_set_chi(graph, packed):
-            out = []
-            for data, meta in zip(packed, metas):
-                model = MODEL_REGISTRY[meta.kind]
-                out.append(model.chi(graph, data, meta.rk, meta.delta))
-            return tuple(out)
-
-        self._fns = dict(
-            head=head, maxdiag=maxdiag, trial=trial, chi_only=chi_only,
-            per_set_chi=per_set_chi,
-        )
+        # kept for interface symmetry; jit caching is global (see _jit_* below)
+        self._fns = True
 
     # -- stage API used by the LM loop -----------------------------------------
 
     def head(self):
-        return self._fns["head"](self.graph, self.packed)
+        return _jit_head(self.graph, self.packed, self.metas, self.Pa, self.La)
 
     def max_diagonal(self, sys):
-        return float(self._fns["maxdiag"](sys))
+        return float(_jit_maxdiag(sys))
 
     def trial(self, sys, lam):
         lam = jnp.asarray(lam, self.dtype)
-        return self._fns["trial"](self.graph, sys, lam, self.packed, self.plan)
+        nnz = self.schur.nnz_blocks if self.schur is not None else 0
+        return _jit_trial(
+            self.graph, sys, lam, self.packed, self.plan,
+            self.metas, self.Pa, self.La, nnz, self.do_schur,
+        )
 
     def accept(self, new_graph: GraphArrays) -> None:
         self.graph = new_graph
@@ -569,7 +535,7 @@ class BlockSolver:
             es.outlier_threshold > 0.0 for es in self._edge_sets
         ):
             return
-        chis = self._fns["per_set_chi"](self.graph, self.packed)
+        chis = _jit_per_set_chi(self.graph, self.packed, self.metas)
         new_packed = []
         for es, data, chi_e in zip(self._edge_sets, self.packed, chis):
             if es.outlier_threshold > 0.0:
@@ -612,3 +578,44 @@ class BlockSolver:
 
     def nedges(self) -> int:
         return sum(m.nedges for m in self.metas)
+
+
+# ---------------------------------------------------------------------------
+# module-level jitted stage entry points (shared compile cache)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "Pa", "La"))
+def _jit_head(graph, packed, metas, Pa, La):
+    chi = compute_chi(graph, packed, metas)
+    sys = build_system(graph, packed, metas, Pa, La)
+    return chi, sys
+
+
+@jax.jit
+def _jit_maxdiag(sys):
+    return max_diagonal(sys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metas", "Pa", "La", "nnz", "do_schur")
+)
+def _jit_trial(graph, sys, lam, packed, plan, metas, Pa, La, nnz, do_schur):
+    if do_schur:
+        xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz)
+    else:
+        xp, success = solve_pose_only(sys, lam)
+        xl = None
+    new_graph = apply_update(graph, xp, xl, Pa, La)
+    Fhat = compute_chi(new_graph, packed, metas)
+    scale = compute_scale(xp, xl, sys, lam)
+    return new_graph, Fhat, scale, success
+
+
+@functools.partial(jax.jit, static_argnames=("metas",))
+def _jit_per_set_chi(graph, packed, metas):
+    out = []
+    for data, meta in zip(packed, metas):
+        model = MODEL_REGISTRY[meta.kind]
+        out.append(model.chi(graph, data, meta.rk, meta.delta))
+    return tuple(out)
