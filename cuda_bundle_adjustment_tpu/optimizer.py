@@ -49,6 +49,7 @@ class TpuGraphOptimisation:
         self.timer = prof.StageTimer()
         self.verbose = False
         self.should_profile = False
+        self.use_fused_loop = True
 
     # -- construction -----------------------------------------------------------
 
@@ -85,6 +86,39 @@ class TpuGraphOptimisation:
         t0 = time.perf_counter()
         solver.build_structure()
         self.timer.add(prof.PROF_BUILD_STRUCTURE, (time.perf_counter() - t0) * 1e3)
+
+        # the fused device-resident loop avoids per-iteration host syncs; the
+        # host loop is kept for verbose/profile introspection (identical trace)
+        if self.use_fused_loop and not (self.verbose or self.should_profile):
+            self._optimize_fused(niterations)
+            return
+        self._optimize_host(niterations)
+
+    def _optimize_fused(self, niterations: int) -> None:
+        from .solver.fused import optimize_fused
+
+        solver = self.solver
+        res = optimize_fused(
+            solver.graph,
+            solver.packed,
+            solver.plan,
+            solver.metas,
+            solver.Pa,
+            solver.La,
+            solver.schur.nnz_blocks if solver.schur is not None else 0,
+            solver.do_schur,
+            int(niterations),
+        )
+        solver.accept(res.graph)
+        n = int(res.num_iterations)
+        trace = [float(x) for x in res.trace[:n]]
+        for it, chi2 in enumerate(trace):
+            self.stats.add_stat(BatchInfo(it, chi2))
+        solver.update_edges()
+        solver.finalize()
+
+    def _optimize_host(self, niterations: int) -> None:
+        solver = self.solver
 
         nu = 2.0
         lam = 0.0
