@@ -4,11 +4,13 @@ Each model provides two pure, batched stage functions used by the block
 solver under jit:
 
 * ``chi(graph, data, rk, delta)``   -> per-edge robustified chi2 ``[E]``
-* ``terms(graph, data, rk, delta)`` -> ``(JP [E,M,6], JL [E,M,3], e [E,M], w [E])``
+* ``terms(graph, data, rk, delta)`` -> flat weighted quadratic-form stacks
+  ``(pose_stack [E,42], lm_stack [E,12], hpl [E,18])`` — see
+  :func:`..ops.components.weighted_block_stacks`.
 
-where ``w = omega * rho'(omega ||e||^2) * active`` and the Jacobians follow the
-g2o convention ``J = -d(proj)/d(state)`` so that ``b = sum w J^T e`` is the
-negative gradient (see :mod:`..ops.jacobians`).
+The compute is component-form SoA (every intermediate is an ``[E]`` lane
+vector; see ops/components.py for why), with the g2o Jacobian convention
+``J = -d(proj)/d(state)`` so ``b = sum w J^T e`` is the negative gradient.
 
 Functional parity with the reference kernels:
 
@@ -17,8 +19,7 @@ Functional parity with the reference kernels:
 * mono/stereo quadratic form: cuda_block_solver.cu:1151-1220
 * depth error: cuda_block_solver.cu:2302-2374 (``e = meas - proj_depth``);
   the reference reuses the *stereo* Jacobian kernel for depth edges
-  (ba_types.h:204-233 calls ``constructQuadraticForm_<3>``), and we reproduce
-  that behaviour.
+  (ba_types.h:204-233) and we reproduce that behaviour.
 """
 
 from __future__ import annotations
@@ -26,41 +27,58 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..graph import BaseEdge, EdgeSet
-from ..ops import jacobians as J
-from ..ops import projection as proj
+from ..ops import components as C
 from ..ops.robust import robust_derivative, robustify
 from ..types import GraphArrays, PackedEdges
 
 
-def _gather(graph: GraphArrays, data: PackedEdges):
-    q = graph.q[data.pose_idx]
-    t = graph.t[data.pose_idx]
-    Xw = graph.Xw[data.lm_idx]
-    return q, t, Xw
-
-
-def _chi_projective(residual_fn, graph, data, rk, delta):
-    q, t, Xw = _gather(graph, data)
-    e, _ = residual_fn(q, t, Xw, data.meas, data.cam)
-    # select (not multiply) so inert padding edges with degenerate geometry
-    # (z = 0 => inf residuals) cannot poison the reduction with NaNs
+def _edge_inputs(graph: GraphArrays, data: PackedEdges):
+    """Gather per-edge component vectors (all [E]) from the small state tables."""
+    qT = graph.q.T  # [4, P] — tiny transpose
+    tT = graph.t.T
+    XT = graph.Xw.T
+    pi, li = data.pose_idx, data.lm_idx
+    q = tuple(qT[i][pi] for i in range(4))
+    t = tuple(tT[i][pi] for i in range(3))
+    Xw = tuple(XT[i][li] for i in range(3))
+    cam = tuple(data.cam[i] for i in range(5))
+    R = C.rotmat_comps(*q)
+    Xc = C.project_w2c_comps(R, t[0], t[1], t[2], Xw[0], Xw[1], Xw[2])
+    # mask 1/z at the source: inert/padding edges with degenerate geometry
+    # (z = 0) must not inject inf/NaN anywhere downstream
     mask = data.active > 0
-    e = jnp.where(mask[..., None], e, 0.0)
-    x = data.omega * jnp.sum(e * e, axis=-1)
+    inv_z = jnp.where(mask & (Xc[2] != 0), 1.0 / jnp.where(Xc[2] == 0, 1.0, Xc[2]), 0.0)
+    return R, Xc, cam, inv_z, mask
+
+
+def _residual(kind: str, Xc, cam, meas, inv_z):
+    if kind == "mono":
+        return C.mono_residual_comps(Xc, cam, meas[0], meas[1], inv_z)
+    if kind == "stereo":
+        return C.stereo_residual_comps(Xc, cam, meas[0], meas[1], meas[2], inv_z)
+    if kind == "depth":
+        return C.depth_residual_comps(Xc, cam, meas[0], meas[1], meas[2], inv_z)
+    raise ValueError(kind)
+
+
+def _chi_projective(kind, graph, data, rk, delta):
+    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data)
+    e = _residual(kind, Xc, cam, data.meas, inv_z)
+    e = tuple(jnp.where(mask, c, 0.0) for c in e)
+    x = data.omega * sum(c * c for c in e)
     return robustify(rk, delta, x) * data.active
 
 
-def _terms_projective(residual_fn, jac_fn, graph, data, rk, delta):
-    q, t, Xw = _gather(graph, data)
-    e, Xc = residual_fn(q, t, Xw, data.meas, data.cam)
-    mask = data.active > 0
-    e = jnp.where(mask[..., None], e, 0.0)
-    x = data.omega * jnp.sum(e * e, axis=-1)
+def _terms_projective(kind, jac_fn, graph, data, rk, delta):
+    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data)
+    e = _residual(kind, Xc, cam, data.meas, inv_z)
+    e = tuple(jnp.where(mask, c, 0.0) for c in e)
+    x = data.omega * sum(c * c for c in e)
     w = data.omega * robust_derivative(rk, delta, x) * data.active
-    JP, JL = jac_fn(Xc, q, data.cam)
-    JP = jnp.where(mask[..., None, None], JP, 0.0)
-    JL = jnp.where(mask[..., None, None], JL, 0.0)
-    return JP, JL, e, w
+    JP, JL = jac_fn(Xc, R, cam, inv_z)
+    pose_stack, lm_stack, hpl = C.weighted_block_stacks(JP, JL, e, w)
+    both_free = (w * data.free_p * data.free_l)[..., None]
+    return pose_stack, lm_stack, hpl * both_free
 
 
 class MonoModel:
@@ -69,11 +87,13 @@ class MonoModel:
 
     @staticmethod
     def chi(graph, data, rk, delta):
-        return _chi_projective(proj.residual_mono, graph, data, rk, delta)
+        return _chi_projective("mono", graph, data, rk, delta)
 
     @staticmethod
     def terms(graph, data, rk, delta):
-        return _terms_projective(proj.residual_mono, J.jacobians_mono, graph, data, rk, delta)
+        return _terms_projective(
+            "mono", C.mono_jacobian_comps, graph, data, rk, delta
+        )
 
 
 class StereoModel:
@@ -82,12 +102,12 @@ class StereoModel:
 
     @staticmethod
     def chi(graph, data, rk, delta):
-        return _chi_projective(proj.residual_stereo, graph, data, rk, delta)
+        return _chi_projective("stereo", graph, data, rk, delta)
 
     @staticmethod
     def terms(graph, data, rk, delta):
         return _terms_projective(
-            proj.residual_stereo, J.jacobians_stereo, graph, data, rk, delta
+            "stereo", C.stereo_jacobian_comps, graph, data, rk, delta
         )
 
 
@@ -99,12 +119,12 @@ class DepthModel:
 
     @staticmethod
     def chi(graph, data, rk, delta):
-        return _chi_projective(proj.residual_depth, graph, data, rk, delta)
+        return _chi_projective("depth", graph, data, rk, delta)
 
     @staticmethod
     def terms(graph, data, rk, delta):
         return _terms_projective(
-            proj.residual_depth, J.jacobians_stereo, graph, data, rk, delta
+            "depth", C.stereo_jacobian_comps, graph, data, rk, delta
         )
 
 

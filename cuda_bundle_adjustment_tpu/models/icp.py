@@ -1,6 +1,7 @@
 """Pose-only ICP measurement models: point-to-line and point-to-plane edges.
 
-Functional parity targets in the reference: ``LineEdgeSet``/``PlaneEdgeSet``
+Component-form SoA compute like models/ba.py.  Functional parity targets in
+the reference: ``LineEdgeSet``/``PlaneEdgeSet``
 (/root/reference/include/icp_types.h:19-107) and their kernels
 (cuda_block_solver.cu:2380-2536).  Two reference quirks are intentionally
 reproduced because they are observable behaviour:
@@ -16,6 +17,11 @@ line Jacobian multiplies uninitialised memory (cuda_block_solver.cu:2284-2290).
 We use the mathematically correct Jacobians in the standard ``[omega,
 upsilon]`` ordering (validated against finite differences in
 ``tests/test_jacobians.py``).
+
+Measurement payload layout (component-first ``[K, E]``):
+
+* line:  ``[ax ay az bx by bz length px py pz]`` (10 rows)
+* plane: ``[nx ny nz d px py pz]`` (7 rows)
 """
 
 from __future__ import annotations
@@ -23,17 +29,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..graph import BaseEdge, EdgeSet
-from ..ops import jacobians as J
-from ..ops import projection as proj
+from ..ops import components as C
 from ..types import GraphArrays, PackedEdges
 
 
-def _line_parts(meas: jnp.ndarray):
-    return meas[..., 0:3], meas[..., 3:6], meas[..., 6], meas[..., 7:10]
+def _pose_comps(graph: GraphArrays, data: PackedEdges):
+    qT = graph.q.T
+    tT = graph.t.T
+    pi = data.pose_idx
+    q = tuple(qT[i][pi] for i in range(4))
+    t = tuple(tT[i][pi] for i in range(3))
+    return C.rotmat_comps(*q), t
 
 
-def _plane_parts(meas: jnp.ndarray):
-    return meas[..., 0:3], meas[..., 3], meas[..., 4:7]
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
 
 
 class LineModel:
@@ -41,23 +51,41 @@ class LineModel:
     HAS_LANDMARK = False
 
     @staticmethod
-    def chi(graph: GraphArrays, data: PackedEdges, rk, delta):
-        a, b, length, point = _line_parts(data.meas)
-        q = graph.q[data.pose_idx]
-        t = graph.t[data.pose_idx]
-        e, _ = proj.residual_point_to_line(q, t, point, a, b, length)
+    def _residual_and_grad(graph, data):
+        m = data.meas
+        a = (m[0], m[1], m[2])
+        b = (m[3], m[4], m[5])
+        length = m[6]
+        p = (m[7], m[8], m[9])
+        R, t = _pose_comps(graph, data)
+        Pw = C.project_w2c_comps(R, t[0], t[1], t[2], p[0], p[1], p[2])
+        ux, uy, uz = (Pw[0] - a[0], Pw[1] - a[1], Pw[2] - a[2])
+        vx, vy, vz = (Pw[0] - b[0], Pw[1] - b[1], Pw[2] - b[2])
+        cx, cy, cz = _cross(ux, uy, uz, vx, vy, vz)
+        cn = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        e = cn / length
+        # de/dPw = ((a - b) x c/|c|) / L
+        inv_cn = 1.0 / jnp.maximum(cn, 1e-12)
+        abx, aby, abz = a[0] - b[0], a[1] - b[1], a[2] - b[2]
+        gx, gy, gz = _cross(abx, aby, abz, cx * inv_cn, cy * inv_cn, cz * inv_cn)
+        g = (gx / length, gy / length, gz / length)
+        return e, Pw, g
+
+    @staticmethod
+    def chi(graph, data, rk, delta):
+        e, _, _ = LineModel._residual_and_grad(graph, data)
         # reference quirk: chi accumulates the raw distance
         return e * data.active
 
     @staticmethod
-    def terms(graph: GraphArrays, data: PackedEdges, rk, delta):
-        a, b, length, point = _line_parts(data.meas)
-        q = graph.q[data.pose_idx]
-        t = graph.t[data.pose_idx]
-        e, _ = proj.residual_point_to_line(q, t, point, a, b, length)
-        JP = -J.jacobians_point_to_line(q, t, point, a, b, length)  # g2o convention
+    def terms(graph, data, rk, delta):
+        e, Pw, g = LineModel._residual_and_grad(graph, data)
+        # J = de/dxi = [Pw x g, g]; negate for the g2o convention
+        jwx, jwy, jwz = _cross(Pw[0], Pw[1], Pw[2], g[0], g[1], g[2])
+        jp = tuple(-c for c in (jwx, jwy, jwz, g[0], g[1], g[2]))
         w = data.omega * data.active
-        return JP, None, e[..., None], w
+        pose_stack, _, _ = C.weighted_block_stacks((jp,), None, (e,), w)
+        return pose_stack, None, None
 
 
 class PlaneModel:
@@ -65,22 +93,30 @@ class PlaneModel:
     HAS_LANDMARK = False
 
     @staticmethod
-    def chi(graph: GraphArrays, data: PackedEdges, rk, delta):
-        normal, d, point = _plane_parts(data.meas)
-        q = graph.q[data.pose_idx]
-        t = graph.t[data.pose_idx]
-        e, _ = proj.residual_point_to_plane(q, t, point, normal, d)
+    def _residual_and_grad(graph, data):
+        m = data.meas
+        n = (m[0], m[1], m[2])
+        d = m[3]
+        p = (m[4], m[5], m[6])
+        R, t = _pose_comps(graph, data)
+        Pw = C.project_w2c_comps(R, t[0], t[1], t[2], p[0], p[1], p[2])
+        e = n[0] * Pw[0] + n[1] * Pw[1] + n[2] * Pw[2] - d
+        return e, Pw, n
+
+    @staticmethod
+    def chi(graph, data, rk, delta):
+        e, _, _ = PlaneModel._residual_and_grad(graph, data)
         return data.omega * e * e * data.active
 
     @staticmethod
-    def terms(graph: GraphArrays, data: PackedEdges, rk, delta):
-        normal, d, point = _plane_parts(data.meas)
-        q = graph.q[data.pose_idx]
-        t = graph.t[data.pose_idx]
-        e, _ = proj.residual_point_to_plane(q, t, point, normal, d)
-        JP = -J.jacobians_point_to_plane(q, t, point, normal)  # g2o convention
+    def terms(graph, data, rk, delta):
+        e, Pw, n = PlaneModel._residual_and_grad(graph, data)
+        # J = [Pw x n, n]; negate for the g2o convention
+        jwx, jwy, jwz = _cross(Pw[0], Pw[1], Pw[2], n[0], n[1], n[2])
+        jp = tuple(-c for c in (jwx, jwy, jwz, n[0], n[1], n[2]))
         w = data.omega * data.active
-        return JP, None, e[..., None], w
+        pose_stack, _, _ = C.weighted_block_stacks((jp,), None, (e,), w)
+        return pose_stack, None, None
 
 
 class LineEdge(BaseEdge):

@@ -28,7 +28,15 @@ from jax.ops import segment_sum
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import MODEL_REGISTRY
-from ..ops.linalg import add_lambda, jte, jtj, jtj_cross, sym3x3_inv
+from ..ops.components import (
+    flat_abt_6x3,
+    flat_mm_6x3_3x3,
+    flat_mtv_6x3,
+    flat_mv_3x3,
+    flat_mv_6x3,
+    flat_sym3x3_inv,
+)
+from ..ops.linalg import add_lambda
 from ..ops.lie import se3_exp, se3_update_left
 from ..solver.symbolic import build_schur_structure
 from ..types import GraphArrays
@@ -40,11 +48,12 @@ class ShardedProblem(NamedTuple):
     # replicated
     pose_q: jnp.ndarray  # [P, 4]
     pose_t: jnp.ndarray  # [P, 3]
-    # sharded along the leading axis (D * per-shard size)
+    # sharded (edge/landmark arrays; edges sharded on the LAST axis so the
+    # component-first [K, E] layout keeps edges on lanes)
     Xw: jnp.ndarray  # [D*Ls, 3]
-    meas: jnp.ndarray  # [D*Es, M]
+    meas: jnp.ndarray  # [M, D*Es]
     omega: jnp.ndarray  # [D*Es]
-    cam: jnp.ndarray  # [D*Es, 5]
+    cam: jnp.ndarray  # [5, D*Es]
     pose_idx: jnp.ndarray  # [D*Es] global pose index
     lm_local: jnp.ndarray  # [D*Es] shard-local landmark index
     active: jnp.ndarray  # [D*Es] 1.0 real edge, 0.0 padding
@@ -148,9 +157,11 @@ def shard_problem(problem, num_shards: int) -> ShardedProblem:
         pose_q=jnp.asarray(problem.pose_q),
         pose_t=jnp.asarray(problem.pose_t),
         Xw=jnp.asarray(Xw.reshape(D * Ls, 3)),
-        meas=jnp.asarray(meas.reshape(D * Es, M)),
+        meas=jnp.asarray(
+            np.ascontiguousarray(meas.reshape(D * Es, M).T)
+        ),
         omega=jnp.asarray(omega.reshape(D * Es)),
-        cam=jnp.asarray(cam.reshape(D * Es, 5)),
+        cam=jnp.asarray(np.ascontiguousarray(cam.reshape(D * Es, 5).T)),
         pose_idx=jnp.asarray(pose_idx.reshape(D * Es)),
         lm_local=jnp.asarray(lml.reshape(D * Es)),
         active=jnp.asarray(active.reshape(D * Es)),
@@ -192,18 +203,22 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         data = _D()
         data.meas, data.omega, data.cam = meas, omega, cam
         data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
+        data.free_p = (pose_idx < Pa).astype(omega.dtype)
+        data.free_l = jnp.ones_like(omega)  # padding edges carry active = 0
         graph = GraphArrays(q=q, t=t, Xw=Xw)
 
         chi = jnp.sum(model.chi(graph, data, rk, delta))
         chi = jax.lax.psum(chi, axis)
 
-        JP, JL, e, w = model.terms(graph, data, rk, delta)
-        Hpp = jax.lax.psum(segment_sum(jtj(JP, w), pose_idx, num_segments=Pa), axis)
-        bp = jax.lax.psum(segment_sum(jte(JP, e, w), pose_idx, num_segments=Pa), axis)
-        Hll = segment_sum(jtj(JL, w), lm_local, num_segments=Ls)
-        bl = segment_sum(jte(JL, e, w), lm_local, num_segments=Ls)
-        free_both = w * (pose_idx < Pa)  # landmark always free here (padding w=0)
-        Hpl = jtj_cross(JP, JL, free_both)
+        pose_stack, lm_stack, Hpl = model.terms(graph, data, rk, delta)
+        pose_acc = jax.lax.psum(
+            segment_sum(pose_stack, pose_idx, num_segments=Pa), axis
+        )
+        Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
+        bp = pose_acc[:, 36:]
+        lm_acc = segment_sum(lm_stack, lm_local, num_segments=Ls)
+        Hll = lm_acc[:, :9]
+        bl = lm_acc[:, 9:]
         return chi, Hpp, bp, Hll, bl, Hpl
 
     def _step(
@@ -214,21 +229,24 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
             q, t, Xw, meas, omega, cam, pose_idx, lm_local, active
         )
 
+        dtype = bp.dtype
         Hpp_d = add_lambda(Hpp, lam)
-        Hll_d = add_lambda(Hll, lam)
-        invHll = sym3x3_inv(Hll_d)
+        diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
+        Hll_d = Hll + lam * diag9
+        invHll = flat_sym3x3_inv(Hll_d)  # [Ls,9]
 
-        W = jnp.einsum("eab,ebc->eac", Hpl, invHll[lm_local])
+        W = flat_mm_6x3_3x3(Hpl, invHll[lm_local])  # [Es,18]
         bsc = bp - jax.lax.psum(
             segment_sum(
-                jnp.einsum("eab,eb->ea", W, bl[lm_local]), pose_idx, num_segments=Pa
+                flat_mv_6x3(W, bl[lm_local]), pose_idx, num_segments=Pa
             ),
             axis,
         )
 
-        prod = jnp.einsum("tab,tcb->tac", W[tri_ei], Hpl[tri_ej])
+        prod = flat_abt_6x3(W[tri_ei], Hpl[tri_ej])  # [Ts,36]
         blocks = -jax.lax.psum(segment_sum(prod, tri_k, num_segments=nnz), axis)
-        blocks = blocks.at[diag_pos].add(Hpp_d)
+        blocks = blocks.at[diag_pos].add(Hpp_d.reshape(Pa, 36))
+        blocks = blocks.reshape(nnz, 6, 6)
 
         dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
         dense = dense.at[blk_row, blk_col].add(blocks)
@@ -251,9 +269,9 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         # shard-local landmark back-substitution
         xp_e = xp[jnp.minimum(pose_idx, Pa - 1)]
         cl = bl - segment_sum(
-            jnp.einsum("eab,ea->eb", Hpl, xp_e), lm_local, num_segments=Ls
+            flat_mtv_6x3(Hpl, xp_e), lm_local, num_segments=Ls
         )
-        xl = jnp.einsum("lab,lb->la", invHll, cl)
+        xl = flat_mv_3x3(invHll, cl)
 
         # update (poses replicated, landmarks local)
         dq, dt = se3_exp(xp)
@@ -274,8 +292,8 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         _step,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+            P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P(axis), P(), P(), P(), P()),
         check_vma=False,
@@ -353,20 +371,26 @@ def _max_diagonal(mesh, sp, q, t, Xw, rk, delta):
         data = _D()
         data.meas, data.omega, data.cam = meas, omega, cam
         data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
+        data.free_p = (pose_idx < Pa).astype(omega.dtype)
+        data.free_l = jnp.ones_like(omega)
         graph = GraphArrays(q=q, t=t, Xw=Xw)
-        JP, JL, e, w = model.terms(graph, data, rk, delta)
-        Hpp = jax.lax.psum(segment_sum(jtj(JP, w), pose_idx, num_segments=Pa), axis)
-        Hll = segment_sum(jtj(JL, w), lm_local, num_segments=Ls)
-        m = jnp.maximum(
-            jnp.max(jnp.diagonal(Hpp, axis1=-2, axis2=-1)),
-            jnp.max(jnp.diagonal(Hll, axis1=-2, axis2=-1)),
+        pose_stack, lm_stack, _ = model.terms(graph, data, rk, delta)
+        pose_acc = jax.lax.psum(
+            segment_sum(pose_stack, pose_idx, num_segments=Pa), axis
         )
+        lm_acc = segment_sum(lm_stack, lm_local, num_segments=Ls)
+        diag_p = pose_acc[:, (0, 7, 14, 21, 28, 35)]
+        diag_l = lm_acc[:, (0, 4, 8)]
+        m = jnp.maximum(jnp.max(diag_p), jnp.max(diag_l))
         return jax.lax.pmax(m, axis)
 
     fn = jax.shard_map(
         _md,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(
+            P(), P(), P(axis), P(None, axis), P(axis), P(None, axis),
+            P(axis), P(axis), P(axis),
+        ),
         out_specs=P(),
         check_vma=False,
     )

@@ -32,7 +32,7 @@ from jax.ops import segment_sum
 
 from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet
 from ..models import MODEL_REGISTRY
-from ..ops.linalg import add_lambda, block_diag_solve, jte, jtj, jtj_cross, sym3x3_inv
+from ..ops.linalg import add_lambda, block_diag_solve
 from ..ops.lie import se3_exp, se3_update_left
 from ..types import GraphArrays, PackedEdges, SystemBlocks
 from .symbolic import SchurStructure, build_schur_structure
@@ -91,27 +91,30 @@ def build_system(
     ``segment_sum`` with ``num_segments = active count`` drops contributions of
     fixed vertices (their dense indices are appended after the active ones),
     replacing the reference's per-thread flag checks + atomic accumulation
-    (cuda_block_solver.cu:1199-1219).
+    (cuda_block_solver.cu:1199-1219).  All per-edge blocks arrive flat
+    ([E,42]/[E,12]/[E,18]) from the models to keep TPU tiling sane.
     """
     Pa, La = num_active_poses, num_active_landmarks
     dtype = graph.q.dtype
-    Hpp = jnp.zeros((Pa, 6, 6), dtype)
-    bp = jnp.zeros((Pa, 6), dtype)
-    Hll = jnp.zeros((La, 3, 3), dtype) if La > 0 else None
-    bl = jnp.zeros((La, 3), dtype) if La > 0 else None
+    pose_acc = jnp.zeros((Pa, 42), dtype)
+    lm_acc = jnp.zeros((La, 12), dtype) if La > 0 else None
     Hpl_parts = []
 
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
-        JP, JL, e, w = model.terms(graph, data, meta.rk, meta.delta)
-        Hpp = Hpp + segment_sum(jtj(JP, w), data.pose_idx, num_segments=Pa)
-        bp = bp + segment_sum(jte(JP, e, w), data.pose_idx, num_segments=Pa)
+        pose_stack, lm_stack, hpl = model.terms(graph, data, meta.rk, meta.delta)
+        pose_acc = pose_acc + segment_sum(pose_stack, data.pose_idx, num_segments=Pa)
         if meta.has_landmark:
-            Hll = Hll + segment_sum(jtj(JL, w), data.lm_idx, num_segments=La)
-            bl = bl + segment_sum(jte(JL, e, w), data.lm_idx, num_segments=La)
-            both_free = data.free_p * data.free_l
-            Hpl_parts.append(jtj_cross(JP, JL, w * both_free))
+            lm_acc = lm_acc + segment_sum(lm_stack, data.lm_idx, num_segments=La)
+            Hpl_parts.append(hpl)
 
+    Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
+    bp = pose_acc[:, 36:]
+    if lm_acc is not None:
+        Hll = lm_acc[:, :9]
+        bl = lm_acc[:, 9:]
+    else:
+        Hll = bl = None
     Hpl = jnp.concatenate(Hpl_parts, axis=0) if Hpl_parts else None
     return SystemBlocks(Hpp=Hpp, bp=bp, Hll=Hll, bl=bl, Hpl=Hpl)
 
@@ -120,7 +123,7 @@ def max_diagonal(sys: SystemBlocks) -> jnp.ndarray:
     """Max Hessian diagonal entry for the initial lambda (block_solver.cpp:309-320)."""
     m = jnp.max(jnp.diagonal(sys.Hpp, axis1=-2, axis2=-1))
     if sys.Hll is not None:
-        m = jnp.maximum(m, jnp.max(jnp.diagonal(sys.Hll, axis1=-2, axis2=-1)))
+        m = jnp.maximum(m, jnp.max(sys.Hll[:, (0, 4, 8)]))
     return m
 
 
@@ -154,24 +157,36 @@ def solve_schur(
       xp   = Hsc^-1 bsc
       xl   = inv(Hll) (bl - Hpl^T xp)
     """
+    from ..ops.components import (
+        flat_abt_6x3,
+        flat_mm_6x3_3x3,
+        flat_mtv_6x3,
+        flat_mv_3x3,
+        flat_mv_6x3,
+        flat_sym3x3_inv,
+    )
+
     Pa, La = num_active_poses, num_active_landmarks
+    dtype = sys.bp.dtype
     Hpp_d = add_lambda(sys.Hpp, lam)
-    Hll_d = add_lambda(sys.Hll, lam)
-    invHll = sym3x3_inv(Hll_d)  # [La,3,3]
+    diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
+    Hll_d = sys.Hll + lam * diag9
+    invHll = flat_sym3x3_inv(Hll_d)  # [La,9] flat
 
     # per-edge W = Hpl inv(Hll); zero rows for non-both-free edges keep the
     # out-of-range gathers harmless (Hpl is already masked at assembly)
-    inv_e = invHll[plan.ba_lm_idx]
-    W = jnp.einsum("eab,ebc->eac", sys.Hpl, inv_e)  # [E,6,3]
+    inv_e = invHll[plan.ba_lm_idx]  # [E,9]
+    W = flat_mm_6x3_3x3(sys.Hpl, inv_e)  # [E,18]
     bl_e = sys.bl[plan.ba_lm_idx]
     bsc = sys.bp - segment_sum(
-        jnp.einsum("eab,eb->ea", W, bl_e), plan.ba_pose_idx, num_segments=Pa
+        flat_mv_6x3(W, bl_e), plan.ba_pose_idx, num_segments=Pa
     )
 
     # off-diagonal (and pair-diagonal) products: Hsc[k] -= W[ei] Hpl[ej]^T
-    prod = jnp.einsum("tab,tcb->tac", W[plan.tri_ei], sys.Hpl[plan.tri_ej])
+    prod = flat_abt_6x3(W[plan.tri_ei], sys.Hpl[plan.tri_ej])  # [T,36]
     blocks = -segment_sum(prod, plan.tri_k, num_segments=nnz_blocks)
-    blocks = blocks.at[plan.diag_pos].add(Hpp_d)
+    blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
+    blocks = blocks.reshape(nnz_blocks, 6, 6)  # nnz is small: rank-3 is fine
 
     # densify the upper-tri block pattern with symmetric mirroring
     dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
@@ -189,9 +204,10 @@ def solve_schur(
 
     # landmark back-substitution
     xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
-    hplt_xp = jnp.einsum("eab,ea->eb", sys.Hpl, xp_e)
-    cl = sys.bl - segment_sum(hplt_xp, plan.ba_lm_idx, num_segments=La)
-    xl = jnp.einsum("lab,lb->la", invHll, cl)
+    cl = sys.bl - segment_sum(
+        flat_mtv_6x3(sys.Hpl, xp_e), plan.ba_lm_idx, num_segments=La
+    )
+    xl = flat_mv_3x3(invHll, cl)
     return xp, xl, success
 
 
@@ -357,9 +373,9 @@ class BlockSolver:
             if cam.ndim == 1:
                 cam = np.broadcast_to(cam, (E, 5)).copy()
             data = PackedEdges(
-                meas=jnp.asarray(meas, dt),
+                meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
                 omega=jnp.asarray(omega, dt),
-                cam=jnp.asarray(cam, dt),
+                cam=jnp.asarray(np.ascontiguousarray(cam.T), dt),
                 pose_idx=jnp.asarray(pose_idx),
                 lm_idx=jnp.asarray(lm_idx),
                 free_p=jnp.asarray((pose_idx < self.Pa).astype(np.float64), dt),
@@ -440,9 +456,9 @@ class BlockSolver:
 
         dt = self.dtype
         data = PackedEdges(
-            meas=jnp.asarray(meas, dt),
+            meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
             omega=jnp.asarray(omega, dt),
-            cam=jnp.asarray(cam, dt),
+            cam=jnp.asarray(np.ascontiguousarray(cam.T), dt),
             pose_idx=jnp.asarray(pose_idx),
             lm_idx=jnp.asarray(lm_idx),
             free_p=jnp.asarray(free_p, dt),

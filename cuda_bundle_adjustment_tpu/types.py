@@ -21,9 +21,9 @@ class PackedEdges(NamedTuple):
     (optimisable_graph.hpp:604-640) so shapes stay static under jit.
     """
 
-    meas: jnp.ndarray  # [E, K] flattened measurement payload
+    meas: jnp.ndarray  # [K, E] measurement payload, component-FIRST (lane = edge)
     omega: jnp.ndarray  # [E] scalar information
-    cam: jnp.ndarray  # [E, 5] fx fy cx cy bf (broadcast if global camera)
+    cam: jnp.ndarray  # [5, E] fx fy cx cy bf, component-first
     pose_idx: jnp.ndarray  # [E] int32 dense pose index
     lm_idx: jnp.ndarray  # [E] int32 dense landmark index (0 if pose-only)
     free_p: jnp.ndarray  # [E] float mask: pose vertex not fixed
@@ -45,10 +45,16 @@ class GraphArrays(NamedTuple):
 
 
 class SystemBlocks(NamedTuple):
-    """The assembled block system for one LM iteration (undamped)."""
+    """The assembled block system for one LM iteration (undamped).
 
-    Hpp: jnp.ndarray  # [Pa, 6, 6]
+    Large per-landmark / per-edge blocks are stored FLAT (row-major last axis)
+    because TPU tiling pads the last two dims to (8, 128): ``[N, 3, 3]``
+    arrays would waste ~40x memory, ``[N, 9]`` only ~3x, and the flat algebra
+    in ops/components.py never re-expands them.
+    """
+
+    Hpp: jnp.ndarray  # [Pa, 6, 6] (small: Pa ~ 1e3)
     bp: jnp.ndarray  # [Pa, 6]
-    Hll: Optional[jnp.ndarray]  # [La, 3, 3] or None
+    Hll: Optional[jnp.ndarray]  # [La, 9] flat symmetric blocks or None
     bl: Optional[jnp.ndarray]  # [La, 3] or None
-    Hpl: Optional[jnp.ndarray]  # [Eba, 6, 3] per-edge pose-landmark blocks or None
+    Hpl: Optional[jnp.ndarray]  # [Eba, 18] flat 6x3 per-edge blocks or None

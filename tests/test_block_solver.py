@@ -48,7 +48,7 @@ def test_system_blocks_match_dense(small_problem):
         np.testing.assert_allclose(Hpp[p], H[sp, sp], rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(bp[p], b[sp], rtol=1e-9, atol=1e-9)
 
-    Hll = np.asarray(sys.Hll)
+    Hll = np.asarray(sys.Hll).reshape(La, 3, 3)
     bl = np.asarray(sys.bl)
     for l in range(La):
         sl = slice(6 * Pa + 3 * l, 6 * Pa + 3 * l + 3)
@@ -57,7 +57,7 @@ def test_system_blocks_match_dense(small_problem):
 
     # Hpl blocks: every both-free edge block must match the dense cross block;
     # accumulate per (pose, lm) because multiple edges can share a pair
-    Hpl = np.asarray(sys.Hpl)
+    Hpl = np.asarray(sys.Hpl).reshape(-1, 6, 3)
     acc = {}
     for e in range(len(small_problem.pose_idx)):
         iP, iL = int(small_problem.pose_idx[e]), int(small_problem.lm_idx[e])

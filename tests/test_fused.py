@@ -55,7 +55,10 @@ def test_fused_termination_parity():
     th = [s.chi2 for s in opt_h.batch_statistics().get()]
     tf = [s.chi2 for s in opt_f.batch_statistics().get()]
     assert len(tf) == len(th)
-    np.testing.assert_allclose(tf, th, rtol=1e-12)
+    # at deep convergence chi2 ~ 1e-9 is pure rounding noise; the two paths
+    # are separate XLA compilations (different fusion/FMA choices), so only
+    # absolute agreement at the noise floor is meaningful here
+    np.testing.assert_allclose(tf, th, rtol=1e-6, atol=1e-12)
 
 
 def test_fused_pose_only():
