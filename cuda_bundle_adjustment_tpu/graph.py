@@ -66,6 +66,9 @@ class GraphOptimisationOptions:
     per_edge_information: bool = False
     per_edge_camera: bool = False
     dtype: str = "float64"
+    # "mixed": f32 MXU Cholesky + f64 iterative refinement (f64-accurate
+    # solutions, ~60x faster); "exact": full f64 factorization
+    solver_precision: str = "mixed"
 
 
 class Se3:

@@ -108,6 +108,7 @@ class TpuGraphOptimisation:
             solver.schur.nnz_blocks if solver.schur is not None else 0,
             solver.do_schur,
             int(niterations),
+            solver.mixed,
         )
         solver.accept(res.graph)
         n = int(res.num_iterations)

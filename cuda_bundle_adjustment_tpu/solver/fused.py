@@ -52,7 +52,7 @@ class FusedResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metas", "Pa", "La", "nnz", "do_schur", "niterations"),
+    static_argnames=("metas", "Pa", "La", "nnz", "do_schur", "niterations", "mixed"),
 )
 def optimize_fused(
     graph: GraphArrays,
@@ -64,12 +64,13 @@ def optimize_fused(
     nnz: int,
     do_schur: bool,
     niterations: int,
+    mixed: bool = False,
 ) -> FusedResult:
     dtype = graph.q.dtype
 
     def trial(graph, sys, lam):
         if do_schur:
-            xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz)
+            xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz, mixed=mixed)
         else:
             xp, success = solve_pose_only(sys, lam)
             xl = None
