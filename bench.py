@@ -26,9 +26,13 @@ def main() -> None:
 
     problem = kitti00_scale_problem(kind="mono", seed=0)
 
-    # warm-up: compiles every stage (the reference also warm-ups, main.cpp:167)
+    # warm-up: compiles every stage at the same static iteration count (the
+    # reference also warm-ups, main.cpp:167; on TPU the compile is keyed on
+    # the iteration count of the fused loop, so warm up with the full 10)
     opt = optimizer_from_problem(problem)
-    opt.optimize(1)
+    opt.optimize(10)
+    jax.block_until_ready(opt.solver.graph.q)
+    _ = opt.batch_statistics().get()[-1].chi2  # force pipeline flush
 
     # timed run: fresh optimizer state, reuse of compiled code via jit cache
     opt = optimizer_from_problem(problem)

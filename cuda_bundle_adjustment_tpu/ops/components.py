@@ -265,6 +265,24 @@ def flat_mv_3x3(B9, v3):
     return jnp.stack(cols, axis=-1)
 
 
+def flat_mv_6x6(A36, v6):
+    """``y = A @ v`` for flat 6x6 blocks (row-major) and ``[N,6]`` vectors."""
+    cols = []
+    for i in range(6):
+        s = sum(A36[..., i * 6 + c] * v6[..., c] for c in range(6))
+        cols.append(s)
+    return jnp.stack(cols, axis=-1)
+
+
+def flat_mtv_6x6(A36, v6):
+    """``y = A^T @ v`` for flat 6x6 blocks (row-major) and ``[N,6]`` vectors."""
+    cols = []
+    for j in range(6):
+        s = sum(A36[..., c * 6 + j] * v6[..., c] for c in range(6))
+        cols.append(s)
+    return jnp.stack(cols, axis=-1)
+
+
 def flat_abt_6x3(A18, B18):
     """``C = A @ B^T`` for flat 6x3 blocks -> ``[N,36]`` (6x6 row-major)."""
     cols = []

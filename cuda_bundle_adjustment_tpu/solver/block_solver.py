@@ -50,17 +50,29 @@ class EdgeSetMeta(NamedTuple):
 
 
 class SchurPlan(NamedTuple):
-    """Device-side gather/scatter plan for the Schur stage (constant per
-    structure, passed as jit arguments so XLA does not inline them)."""
+    """Device-side plan for the jitted pipeline stages (constant per
+    structure, passed as jit arguments so XLA does not inline them).
+
+    Every segment reduction in the hot path is a scatter-free
+    :class:`~.segments.BucketPlan` (TPU scatters cost ~115 ns/row regardless
+    of width; the bucketed gather+dense-sum form is 3-10x cheaper and
+    bit-deterministic):
+
+    * ``tri_plan``   — Schur multiply triples -> Hsc blocks ([T] -> [nnz])
+    * ``bsc_plan``   — BA-edge rows -> poses (bsc correction term)
+    * ``lm_plan``    — BA-edge rows -> landmarks (Hll/bl assembly + back-sub)
+    * ``pose_plan``  — all-edge rows -> poses (Hpp/bp assembly)
+    """
 
     ba_pose_idx: jnp.ndarray  # [Eba] int32 over concatenated landmark edge sets
     ba_lm_idx: jnp.ndarray  # [Eba] int32
-    tri_ei: jnp.ndarray  # [T]
-    tri_ej: jnp.ndarray  # [T]
-    tri_k: jnp.ndarray  # [T]
     blk_row: jnp.ndarray  # [nnz]
     blk_col: jnp.ndarray  # [nnz]
     diag_pos: jnp.ndarray  # [Pa]
+    tri_plan: object
+    bsc_plan: object
+    lm_plan: object
+    pose_plan: object
 
 
 # ---------------------------------------------------------------------------
@@ -85,28 +97,52 @@ def build_system(
     metas: tuple[EdgeSetMeta, ...],
     num_active_poses: int,
     num_active_landmarks: int,
+    plan: Optional[SchurPlan] = None,
 ) -> SystemBlocks:
     """Assemble Hpp/bp/Hll/bl and per-edge Hpl blocks (stage "3: Build System").
 
-    ``segment_sum`` with ``num_segments = active count`` drops contributions of
-    fixed vertices (their dense indices are appended after the active ones),
-    replacing the reference's per-thread flag checks + atomic accumulation
-    (cuda_block_solver.cu:1199-1219).  All per-edge blocks arrive flat
-    ([E,42]/[E,12]/[E,18]) from the models to keep TPU tiling sane.
+    With a ``plan``, the accumulations run as scatter-free bucketed
+    reductions (:mod:`.segments`); the fallback is ``segment_sum`` with
+    ``num_segments = active count``.  Either way, contributions of fixed
+    vertices are dropped because their dense indices lie past the active
+    count — replacing the reference's per-thread flag checks + atomic
+    accumulation (cuda_block_solver.cu:1199-1219).  All per-edge blocks
+    arrive flat ([E,42]/[E,12]/[E,18]) from the models to keep TPU tiling
+    sane.
     """
+    from .segments import reduce_rows
+
     Pa, La = num_active_poses, num_active_landmarks
     dtype = graph.q.dtype
-    pose_acc = jnp.zeros((Pa, 42), dtype)
-    lm_acc = jnp.zeros((La, 12), dtype) if La > 0 else None
-    Hpl_parts = []
+    pose_stacks, lm_stacks, Hpl_parts = [], [], []
 
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
         pose_stack, lm_stack, hpl = model.terms(graph, data, meta.rk, meta.delta)
-        pose_acc = pose_acc + segment_sum(pose_stack, data.pose_idx, num_segments=Pa)
+        pose_stacks.append((pose_stack, data.pose_idx))
         if meta.has_landmark:
-            lm_acc = lm_acc + segment_sum(lm_stack, data.lm_idx, num_segments=La)
+            lm_stacks.append((lm_stack, data.lm_idx))
             Hpl_parts.append(hpl)
+
+    if plan is not None and plan.pose_plan is not None:
+        pose_acc = reduce_rows(
+            jnp.concatenate([s for s, _ in pose_stacks], axis=0), plan.pose_plan
+        )
+    else:
+        pose_acc = jnp.zeros((Pa, 42), dtype)
+        for s, idx in pose_stacks:
+            pose_acc = pose_acc + segment_sum(s, idx, num_segments=Pa)
+
+    lm_acc = None
+    if La > 0 and lm_stacks:
+        if plan is not None and plan.lm_plan is not None:
+            lm_acc = reduce_rows(
+                jnp.concatenate([s for s, _ in lm_stacks], axis=0), plan.lm_plan
+            )
+        else:
+            lm_acc = jnp.zeros((La, 12), dtype)
+            for s, idx in lm_stacks:
+                lm_acc = lm_acc + segment_sum(s, idx, num_segments=La)
 
     Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
     bp = pose_acc[:, 36:]
@@ -176,6 +212,85 @@ def _cho_solve_dense(
     return x, ok & jnp.all(jnp.isfinite(x))
 
 
+def _solve_reduced_blocks(
+    blocks: jnp.ndarray,
+    brow: jnp.ndarray,
+    bcol: jnp.ndarray,
+    diag_pos: jnp.ndarray,
+    bsc: jnp.ndarray,
+    num_active_poses: int,
+    mixed: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve ``Hsc xp = bsc`` given Hsc as flat upper-tri 6x6 blocks, without
+    ever materialising a dense f64 matrix (one f64 dense copy of KITTI-00's
+    7932x7932 Hsc is 0.5 GB; the old path held three plus an f32 factor).
+
+    Jacobi pre-scaling happens in block form; the dense operand is built
+    directly in the scalar ``[Pa*6, Pa*6]`` layout (f32 for the mixed MXU
+    path) and the f64 iterative-refinement matvecs run on the scaled flat
+    blocks via segment_sum — a block SpMV, never a dense f64 product."""
+    from jax.scipy.linalg import solve_triangular
+
+    from ..ops.components import flat_mtv_6x6, flat_mv_6x6
+
+    Pa = num_active_poses
+    dtype = blocks.dtype
+    nnz = blocks.shape[0]
+
+    # symmetric Jacobi scaling: BA Hessian diagonals span many orders of
+    # magnitude (focal-length-squared pixel terms vs unit-metric terms)
+    diag = blocks[diag_pos][:, jnp.array([0, 7, 14, 21, 28, 35])]  # [Pa,6]
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-300))
+    bl_s = blocks * (s[brow][:, :, None] * s[bcol][:, None, :]).reshape(nnz, 36)
+    bv = bsc * s  # [Pa,6] scaled rhs
+
+    target = jnp.float32 if (mixed and dtype == jnp.float64) else dtype
+    vals = bl_s.reshape(nnz, 6, 6).astype(target)
+    dense = jnp.zeros((Pa, 6, Pa, 6), target)
+    dense = dense.at[brow, :, bcol, :].add(vals)
+    off = brow != bcol
+    mirror = jnp.where(
+        off[:, None, None], jnp.swapaxes(vals, -1, -2), jnp.zeros_like(vals)
+    )
+    dense = dense.at[bcol, :, brow, :].add(mirror)
+    A = dense.reshape(Pa * 6, Pa * 6)
+
+    L = jnp.linalg.cholesky(A)
+
+    def tri_solve(r):
+        y = solve_triangular(L, r.reshape(-1).astype(target), lower=True)
+        x = solve_triangular(L.T, y, lower=False)
+        return x.astype(dtype).reshape(Pa, 6)
+
+    x = tri_solve(bv)
+    if target == dtype:
+        # direct solve in the working precision: success = finite pivots
+        # (zero-pivot analogue, /root/reference/src/cholesky.hpp:59-92)
+        return x * s, jnp.all(jnp.isfinite(x))
+
+    # f32 MXU factorization + f64 refinement (f64 Cholesky on TPU is emulated
+    # and ~60x slower: 964 ms vs 15 ms at n = 7932 on v5e).  Three rounds of
+    # refinement recover ~1e-12 relative accuracy for LM-damped systems.
+    offm = off.astype(dtype)[:, None]
+
+    def matvec(xv):  # symmetric block SpMV in the scaled space, f64
+        y = segment_sum(flat_mv_6x6(bl_s, xv[bcol]), brow, num_segments=Pa)
+        return y + segment_sum(
+            flat_mtv_6x6(bl_s * offm, xv[brow]), bcol, num_segments=Pa
+        )
+
+    for _ in range(3):
+        x = x + tri_solve(bv - matvec(x))
+
+    # success requires an actually-converged refinement, not just finiteness:
+    # if cond(A) defeats the f32 factorization the LM loop re-damps (exactly
+    # like the reference treats a zero-pivot, cuda_linear_solver.cpp:48-52)
+    res = jnp.linalg.norm(bv - matvec(x))
+    ok = jnp.isfinite(res) & (res <= 1e-8 * (jnp.linalg.norm(bv) + 1e-300))
+    xp = x * s
+    return xp, ok & jnp.all(jnp.isfinite(xp))
+
+
 def solve_schur(
     sys: SystemBlocks,
     lam: jnp.ndarray,
@@ -196,13 +311,13 @@ def solve_schur(
       xl   = inv(Hll) (bl - Hpl^T xp)
     """
     from ..ops.components import (
-        flat_abt_6x3,
         flat_mm_6x3_3x3,
         flat_mtv_6x3,
         flat_mv_3x3,
         flat_mv_6x3,
         flat_sym3x3_inv,
     )
+    from .segments import reduce_pair_products, reduce_rows
 
     Pa, La = num_active_poses, num_active_landmarks
     dtype = sys.bp.dtype
@@ -216,35 +331,21 @@ def solve_schur(
     inv_e = invHll[plan.ba_lm_idx]  # [E,9]
     W = flat_mm_6x3_3x3(sys.Hpl, inv_e)  # [E,18]
     bl_e = sys.bl[plan.ba_lm_idx]
-    bsc = sys.bp - segment_sum(
-        flat_mv_6x3(W, bl_e), plan.ba_pose_idx, num_segments=Pa
-    )
+    bsc = sys.bp - reduce_rows(flat_mv_6x3(W, bl_e), plan.bsc_plan)
 
-    # off-diagonal (and pair-diagonal) products: Hsc[k] -= W[ei] Hpl[ej]^T
-    prod = flat_abt_6x3(W[plan.tri_ei], sys.Hpl[plan.tri_ej])  # [T,36]
-    blocks = -segment_sum(prod, plan.tri_k, num_segments=nnz_blocks)
+    # triple products Hsc[k] -= W[ei] Hpl[ej]^T as scatter-free bucketed
+    # batched matmuls (reference: one-thread-per-triple atomics,
+    # cuda_block_solver.cu:1327-1345)
+    blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
-    blocks = blocks.reshape(nnz_blocks, 6, 6)  # nnz is small: rank-3 is fine
 
-    # densify the upper-tri block pattern with symmetric mirroring
-    dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
-    dense = dense.at[plan.blk_row, plan.blk_col].add(blocks)
-    mirror = jnp.where(
-        (plan.blk_row != plan.blk_col)[:, None, None],
-        jnp.swapaxes(blocks, -1, -2),
-        jnp.zeros_like(blocks),
+    xp, success = _solve_reduced_blocks(
+        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed
     )
-    dense = dense.at[plan.blk_col, plan.blk_row].add(mirror)
-    A = dense.transpose(0, 2, 1, 3).reshape(Pa * 6, Pa * 6)
-
-    xp_flat, success = _cho_solve_dense(A, bsc.reshape(-1), mixed=mixed)
-    xp = xp_flat.reshape(Pa, 6)
 
     # landmark back-substitution
     xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
-    cl = sys.bl - segment_sum(
-        flat_mtv_6x3(sys.Hpl, xp_e), plan.ba_lm_idx, num_segments=La
-    )
+    cl = sys.bl - reduce_rows(flat_mtv_6x3(sys.Hpl, xp_e), plan.lm_plan)
     xl = flat_mv_3x3(invHll, cl)
     return xp, xl, success
 
@@ -326,6 +427,7 @@ class BlockSolver:
         self._pose_set: Optional[PoseVertexSet] = None
         self._lm_set: Optional[LandmarkVertexSet] = None
         self._edge_sets: list[EdgeSet] = []
+        self._host_idx: list[tuple[np.ndarray, np.ndarray]] = []
 
     # -- packing ------------------------------------------------------------
 
@@ -363,10 +465,12 @@ class BlockSolver:
         )
 
         packed, metas = [], []
+        self._host_idx = []
         for es in self._edge_sets:
-            data, meta = self._pack_edge_set(es)
+            data, meta, hidx = self._pack_edge_set(es)
             packed.append(data)
             metas.append(meta)
+            self._host_idx.append(hidx)
         self.packed = tuple(packed)
         self.metas = tuple(metas)
         self._fns = None  # force recompile on new structure
@@ -389,6 +493,7 @@ class BlockSolver:
         self._pose_set = None
         self._lm_set = None
         self._edge_sets = []
+        self._host_idx = []
         dt = self.dtype
 
         self.P = pose_q.shape[0]
@@ -434,11 +539,14 @@ class BlockSolver:
             )
             packed.append(data)
             metas.append(meta)
+            self._host_idx.append((pose_idx, lm_idx))
         self.packed = tuple(packed)
         self.metas = tuple(metas)
         self._fns = None
 
-    def _pack_edge_set(self, es: EdgeSet) -> tuple[PackedEdges, EdgeSetMeta]:
+    def _pack_edge_set(
+        self, es: EdgeSet
+    ) -> tuple[PackedEdges, EdgeSetMeta, tuple[np.ndarray, np.ndarray]]:
         """Pack one edge set to struct-of-arrays (the Arena-upload analogue,
         optimisable_graph.hpp:475-601).  Edges whose vertices are all fixed are
         dropped; others keep a float ``active`` mask."""
@@ -515,13 +623,18 @@ class BlockSolver:
             mdim=es.MDIM,
             nedges=E,
         )
-        return data, meta
+        return data, meta, (pose_idx, lm_idx)
 
     # -- structure ------------------------------------------------------------
 
     def build_structure(self) -> None:
         """Host symbolic analysis (stages "1: Build Structure" +
-        "5: Symbolic Decomposition")."""
+        "5: Symbolic Decomposition").  Pure host work: indices come from the
+        numpy copies kept at packing time, never from device downloads (a
+        device->host sync here would stall the pipeline and, behind an RPC
+        tunnel, cost seconds)."""
+        from .segments import build_bucket_plan
+
         if not self.do_schur:
             self.schur = None
             self.plan = None
@@ -529,28 +642,33 @@ class BlockSolver:
             return
 
         pose_parts, lm_parts = [], []
-        for data, meta in zip(self.packed, self.metas):
+        for (pose_idx, lm_idx), meta in zip(self._host_idx, self.metas):
             if meta.has_landmark:
-                pose_parts.append(np.asarray(data.pose_idx))
-                lm_parts.append(np.asarray(data.lm_idx))
+                pose_parts.append(pose_idx)
+                lm_parts.append(lm_idx)
         ba_pose_idx = (
             np.concatenate(pose_parts) if pose_parts else np.zeros(0, dtype=np.int32)
         )
         ba_lm_idx = (
             np.concatenate(lm_parts) if lm_parts else np.zeros(0, dtype=np.int32)
         )
+        all_pose_idx = np.concatenate([p for p, _ in self._host_idx])
+        Eba = ba_pose_idx.size
 
         self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
         s = self.schur
         self.plan = SchurPlan(
             ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
             ba_lm_idx=jnp.asarray(ba_lm_idx, jnp.int32),
-            tri_ei=jnp.asarray(s.tri_ei),
-            tri_ej=jnp.asarray(s.tri_ej),
-            tri_k=jnp.asarray(s.tri_k),
             blk_row=jnp.asarray(s.blk_row),
             blk_col=jnp.asarray(s.blk_col),
             diag_pos=jnp.asarray(s.diag_pos),
+            tri_plan=build_bucket_plan(
+                s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej), sentinel=Eba
+            ),
+            bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
+            lm_plan=build_bucket_plan(ba_lm_idx, self.La),
+            pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
         )
         self._compile()
 
@@ -566,7 +684,9 @@ class BlockSolver:
     # -- stage API used by the LM loop -----------------------------------------
 
     def head(self):
-        return _jit_head(self.graph, self.packed, self.metas, self.Pa, self.La)
+        return _jit_head(
+            self.graph, self.packed, self.plan, self.metas, self.Pa, self.La
+        )
 
     def max_diagonal(self, sys):
         return float(_jit_maxdiag(sys))
@@ -644,9 +764,9 @@ class BlockSolver:
 
 
 @functools.partial(jax.jit, static_argnames=("metas", "Pa", "La"))
-def _jit_head(graph, packed, metas, Pa, La):
+def _jit_head(graph, packed, plan, metas, Pa, La):
     chi = compute_chi(graph, packed, metas)
-    sys = build_system(graph, packed, metas, Pa, La)
+    sys = build_system(graph, packed, metas, Pa, La, plan)
     return chi, sys
 
 

@@ -129,7 +129,7 @@ def optimize_fused(
         def run(args):
             graph, lam, nu, trace, n_done = args
             F0 = compute_chi(graph, packed, metas)
-            sys = build_system(graph, packed, metas, Pa, La)
+            sys = build_system(graph, packed, metas, Pa, La, plan)
             lam0 = jnp.where(it == 0, TAU * max_diagonal(sys), lam)
             graph, lam, nu, F, rho, q = inner_damping(graph, sys, lam0, nu, F0)
             trace = trace.at[it].set(F)
