@@ -124,30 +124,33 @@ def optimize_fused(
         return graph_f, lam_f, nu_f, F_f, rho_f, q_f
 
     def one_iteration(it, carry):
-        graph, lam, nu, done, trace, n_done, rho_last = carry
+        graph, F, lam, nu, done, trace, n_done, rho_last = carry
 
         def run(args):
-            graph, lam, nu, trace, n_done = args
-            F0 = compute_chi(graph, packed, metas)
+            graph, F0, lam, nu, trace, n_done = args
+            # F0 is carried from the previous iteration's accepted trial —
+            # recomputing chi on the same graph is deterministic and equal,
+            # so carrying saves one full residual pass per iteration
             sys = build_system(graph, packed, metas, Pa, La, plan)
             lam0 = jnp.where(it == 0, TAU * max_diagonal(sys), lam)
             graph, lam, nu, F, rho, q = inner_damping(graph, sys, lam0, nu, F0)
             trace = trace.at[it].set(F)
             done_now = (q == MAXQ) | (rho < 1e-6) | (~jnp.isfinite(lam))
-            return graph, lam, nu, done_now, trace, n_done + 1, rho
+            return graph, F, lam, nu, done_now, trace, n_done + 1, rho
 
         def skip(args):
-            graph, lam, nu, trace, n_done = args
-            return graph, lam, nu, jnp.asarray(True), trace, n_done, rho_last
+            graph, F, lam, nu, trace, n_done = args
+            return graph, F, lam, nu, jnp.asarray(True), trace, n_done, rho_last
 
-        graph, lam, nu, done, trace, n_done, rho = jax.lax.cond(
-            done, skip, run, (graph, lam, nu, trace, n_done)
+        graph, F, lam, nu, done, trace, n_done, rho = jax.lax.cond(
+            done, skip, run, (graph, F, lam, nu, trace, n_done)
         )
-        return graph, lam, nu, done, trace, n_done, rho
+        return graph, F, lam, nu, done, trace, n_done, rho
 
     trace0 = jnp.zeros((niterations,), dtype)
     carry = (
         graph,
+        compute_chi(graph, packed, metas),
         jnp.asarray(0.0, dtype),
         jnp.asarray(2.0, dtype),
         jnp.asarray(False),
@@ -155,7 +158,7 @@ def optimize_fused(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(-1.0, dtype),
     )
-    graph, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
+    graph, F, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
         0, niterations, one_iteration, carry
     )
     return FusedResult(

@@ -160,11 +160,21 @@ def reduce_pair_products(
     Be = jnp.concatenate([B, jnp.zeros((1, 18), B.dtype)], axis=0)
     parts = []
     for ei, ej in plan.payload_buckets:
-        n_b, S = ei.shape
-        Ag = Ae[ei].reshape(n_b, S, 6, 3)
-        Bg = Be[ej].reshape(n_b, S, 6, 3)
-        prod = jnp.einsum("kric,krjc->kij", Ag, Bg)
-        parts.append(prod.reshape(n_b, 36))
+        # NB: no [n_b, S, 6, 3] rank-4 shapes — TPU tiles the last two dims
+        # to (8, 128), so small trailing dims blow memory up ~200x.  Compute
+        # the 36 block components from flat [n_b, S, 18] gathers instead.
+        Ag = Ae[ei]
+        Bg = Be[ej]
+        comps = []
+        for i in range(6):
+            for j in range(6):
+                s = (
+                    Ag[..., i * 3] * Bg[..., j * 3]
+                    + Ag[..., i * 3 + 1] * Bg[..., j * 3 + 1]
+                    + Ag[..., i * 3 + 2] * Bg[..., j * 3 + 2]
+                ).sum(axis=-1)
+                comps.append(s)
+        parts.append(jnp.stack(comps, axis=-1))
     cat = jnp.concatenate(parts, axis=0)
     if plan.second is not None:
         return reduce_rows(cat, plan.second)[plan.out_gather]
