@@ -1,0 +1,215 @@
+"""Exact table expansion (gather) as a windowed one-hot MXU selection.
+
+``out[:, e] = table[:, idx[e]]`` for a ``[K, M]`` table and ``[E]`` indices.
+XLA's row-gather costs ~30-80 ns per row on TPU v5e (~25 GB/s effective);
+this kernel instead DMA's a contiguous window of the table into VMEM per
+chunk of indices and selects columns with an MXU one-hot product built
+on-the-fly in VMEM (never written to HBM).  Selection by a 0/1 matrix is
+EXACT in f32 — one nonzero product per output — so expanding the hi/lo
+halves of an f64 array separately reproduces the f64 gather bit-for-bit.
+
+The f64 table is split into THREE f32 summands (24+24+24 bits > 53), each
+selected exactly, so the result is bit-identical to a real-f64 gather on any
+platform (on TPU, where f64 is itself a two-f32 emulation, this is overkill
+but free).
+
+Indices outside a chunk's window produce an all-zero one-hot column and
+hence a ZERO output — callers use index ``M`` (or anything out of range) as
+a free zero-row sentinel, matching the segment-reduction conventions.
+
+The window layout requires locality: each chunk of ``C`` consecutive indices
+must span at most ``max_window`` distinct table columns.  That holds by
+construction for our uses (pose tables are small enough for a full-table
+window; landmark accesses are near-sorted after the build-time edge sort).
+``build_expand_plan`` measures the true span and returns ``None`` if the
+data has no locality, in which case callers keep the XLA gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class ExpandPlan(NamedTuple):
+    starts: jnp.ndarray  # [nch] int32 window start column per chunk
+    idx: jnp.ndarray  # [nch, 8, C//8] int32 (padded with out-of-range sentinel)
+    window: int  # static window width (multiple of 128)
+    chunk: int  # C
+    num_rows: int  # E (true, before padding)
+    table_cols: int  # M
+
+
+# register as a pytree whose integer fields are STATIC aux data (they select
+# the compiled kernel; as leaves they would be traced and break jit)
+jax.tree_util.register_pytree_node(
+    ExpandPlan,
+    lambda p: ((p.starts, p.idx), (p.window, p.chunk, p.num_rows, p.table_cols)),
+    lambda aux, ch: ExpandPlan(ch[0], ch[1], *aux),
+)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_expand_plan(
+    idx: np.ndarray,
+    table_cols: int,
+    chunk: int = 2048,
+    max_window: int = 8192,
+) -> Optional[ExpandPlan]:
+    """Plan ``expand`` for these indices; ``None`` if windows would exceed
+    ``max_window`` (no locality — fall back to an XLA gather)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if chunk % 1024:
+        raise ValueError("chunk must be a multiple of 1024")
+    E = int(idx.size)
+    M = int(table_cols)
+    nch = max(1, _ceil_to(E, chunk) // chunk)
+    padded = np.full(nch * chunk, M, dtype=np.int64)
+    padded[:E] = idx
+    by_chunk = padded.reshape(nch, chunk)
+
+    starts = np.zeros(nch, dtype=np.int64)
+    span = 128
+    if M <= max_window:
+        window = _ceil_to(max(M, 128), 128)  # full table fits: one window
+    else:
+        for g in range(nch):
+            valid = by_chunk[g][by_chunk[g] < M]
+            if valid.size == 0:
+                continue
+            lo, hi = int(valid.min()), int(valid.max())
+            starts[g] = (lo // 128) * 128  # DMA starts must be lane-aligned
+            span = max(span, hi - starts[g] + 1)
+        window = _ceil_to(span, 128)
+        if window > max_window:
+            return None
+        starts = np.minimum(starts, max(M - 1, 0))
+
+    return ExpandPlan(
+        starts=jnp.asarray(starts.astype(np.int32)),
+        idx=jnp.asarray(by_chunk.reshape(nch, 8, chunk // 8).astype(np.int32)),
+        window=int(window),
+        chunk=int(chunk),
+        num_rows=E,
+        table_cols=M,
+    )
+
+
+def _make_kernel(K: int, W: int, C: int, CSUB: int, nsplit: int):
+    def kernel(starts_ref, idx_ref, *refs):
+        table_refs = refs[:nsplit]
+        out_refs = refs[nsplit:]
+        g = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[g], 128)
+
+        def body(*scoped):
+            wins, sems = scoped[:nsplit], scoped[nsplit:]
+            dmas = [
+                pltpu.make_async_copy(
+                    table_refs[p].at[:, pl.ds(start, W)], wins[p], sems[p]
+                )
+                for p in range(nsplit)
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (W, CSUB), 0)
+            for t in range(C // CSUB):
+                il = idx_ref[0, t : t + 1, :] - start  # [1, CSUB]
+                onehot = (row_ids == il).astype(jnp.float32)  # [W, CSUB]
+                for p in range(nsplit):
+                    # precision=HIGHEST: the default bf16 MXU path would
+                    # truncate the table values; the x3-bf16 decomposition
+                    # is exact for products against a 0/1 matrix
+                    out_refs[p][:, t * CSUB : (t + 1) * CSUB] = jnp.dot(
+                        wins[p][:, :],
+                        onehot,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+        pl.run_scoped(
+            body,
+            *[pltpu.VMEM((K, W), jnp.float32) for _ in range(nsplit)],
+            *[pltpu.SemaphoreType.DMA for _ in range(nsplit)],
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window", "chunk", "interpret"))
+def _expand_call(tables, starts, idx, window, chunk, interpret):
+    nsplit = len(tables)
+    K = tables[0].shape[0]
+    nch, _, csub = idx.shape
+    C = 8 * csub
+    CSUB = csub
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, CSUB), lambda g, s: (g, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(nsplit)],
+        out_specs=[
+            pl.BlockSpec((K, C), lambda g, s: (0, g), memory_space=pltpu.VMEM)
+            for _ in range(nsplit)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((K, nch * C), jnp.float32) for _ in range(nsplit)
+    ]
+    # trace with x64 disabled: all kernel values are i32/f32, but global
+    # x64 mode leaks i64 scalars (program ids, loop offsets) into the Mosaic
+    # lowering, which cannot legalize them
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _make_kernel(K, window, C, CSUB, nsplit),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(starts, idx, *tables)
+
+
+def expand(
+    table: jnp.ndarray, plan: ExpandPlan, interpret: bool = False
+) -> jnp.ndarray:
+    """``table [M, K] f64  ->  out [K, E] f64`` with ``out[:, e] = table[idx[e]]``.
+
+    Exact (bit-identical to the XLA gather) via separate hi/lo f32 selection.
+    """
+    M, K = table.shape
+    W = plan.window
+    # transpose (tiny table), split f64 into three exact f32 summands, pad
+    # columns by one window so any in-range DMA start is safe and the
+    # component dim to a sublane multiple (DMA slice alignment)
+    K8 = _ceil_to(K, 8)
+    tT = jnp.swapaxes(table, 0, 1)  # [K, M]
+    tT = jnp.pad(tT, ((0, K8 - K), (0, 0)))
+    parts = []
+    rem = tT
+    nsplit = 3 if table.dtype == jnp.float64 else 1
+    for _ in range(nsplit):
+        p = rem.astype(jnp.float32)
+        parts.append(jnp.pad(p, ((0, 0), (0, W))))
+        rem = rem - p.astype(table.dtype)
+    outs = _expand_call(
+        tuple(parts), plan.starts, plan.idx, W, plan.chunk, interpret
+    )
+    out = outs[0].astype(table.dtype)
+    for o in outs[1:]:
+        out = out + o.astype(table.dtype)
+    return out[:K, : plan.num_rows]

@@ -635,6 +635,7 @@ class BlockSolver:
         tunnel, cost seconds)."""
         from .segments import build_bucket_plan
 
+        self._attach_expand_plans()
         if not self.do_schur:
             self.schur = None
             self.plan = None
@@ -671,6 +672,25 @@ class BlockSolver:
             pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
         )
         self._compile()
+
+    def _attach_expand_plans(self) -> None:
+        """Attach Pallas one-hot expansion plans for the per-edge state
+        gathers (TPU only; CPU tests keep the XLA gather fallback).  Plans
+        require index locality for large tables — ``build_expand_plan``
+        returns None without it and the edge set keeps the fallback."""
+        if jax.default_backend() == "cpu":
+            return
+        from ..pallas.expand import build_expand_plan
+
+        new_packed = []
+        for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):
+            if meta.has_landmark and data.pose_xp is None:
+                pxp = build_expand_plan(pi, self.P)
+                lxp = build_expand_plan(li, self.L)
+                if pxp is not None and lxp is not None:
+                    data = data._replace(pose_xp=pxp, lm_xp=lxp)
+            new_packed.append(data)
+        self.packed = tuple(new_packed)
 
     # -- compiled stage wrappers ----------------------------------------------
     # module-level jits with static (hashable) meta args: the compile cache is

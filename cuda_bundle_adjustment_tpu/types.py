@@ -29,6 +29,10 @@ class PackedEdges(NamedTuple):
     free_p: jnp.ndarray  # [E] float mask: pose vertex not fixed
     free_l: jnp.ndarray  # [E] float mask: landmark vertex not fixed (0 if pose-only)
     active: jnp.ndarray  # [E] float mask: 1.0 active, 0.0 outlier
+    # Pallas one-hot expansion plans for the per-edge state gathers
+    # (q/t by pose_idx, Xw by lm_idx); None -> plain XLA gathers (CPU path)
+    pose_xp: object = None  # Optional[pallas.expand.ExpandPlan]
+    lm_xp: object = None
 
 
 class GraphArrays(NamedTuple):
