@@ -665,7 +665,8 @@ class BlockSolver:
             blk_col=jnp.asarray(s.blk_col),
             diag_pos=jnp.asarray(s.diag_pos),
             tri_plan=build_bucket_plan(
-                s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej), sentinel=Eba
+                s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
+                sentinel=Eba, sorted_ids=s.tri_sorted,
             ),
             bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
             lm_plan=build_bucket_plan(ba_lm_idx, self.La),

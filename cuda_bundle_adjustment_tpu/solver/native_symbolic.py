@@ -33,8 +33,18 @@ def _load():
     except OSError:
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     lib.tba_count_pairs.restype = ctypes.c_int64
     lib.tba_count_pairs.argtypes = [i64p, i64p, ctypes.c_int64]
+    lib.tba_index_pairs_count.restype = ctypes.c_int64
+    lib.tba_index_pairs_count.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i32p]
+    lib.tba_index_pairs_emit.restype = None
+    lib.tba_index_pairs_emit.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p, i32p]
+    lib.tba_emit_sorted.restype = None
+    lib.tba_emit_sorted.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ctypes.c_int64, i64p, i32p, i32p, i32p]
     lib.tba_enumerate_pairs.restype = None
     lib.tba_enumerate_pairs.argtypes = [
         i64p,  # sorted edge ids
@@ -80,3 +90,70 @@ def native_build(eids: np.ndarray, ep: np.ndarray, el: np.ndarray, Pa: int):
         as_ptr(tri_ej),
     )
     return pair_keys, tri_ei, tri_ej
+
+
+def native_index(pair_keys: np.ndarray, Pa: int):
+    """Index the Hsc block pattern from raw pair keys (counting pass over the
+    dense Pa^2 key space).  Returns (tri_k, blk_row, blk_col, diag_pos) or
+    None if the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    keys = np.ascontiguousarray(pair_keys, dtype=np.int64)
+    T = keys.size
+    pos = np.empty(Pa * Pa, dtype=np.int32)
+    nnz = lib.tba_index_pairs_count(
+        keys.ctypes.data_as(i64p), T, Pa, pos.ctypes.data_as(i32p)
+    )
+    tri_k = np.empty(T, dtype=np.int32)
+    blk_row = np.empty(nnz, dtype=np.int32)
+    blk_col = np.empty(nnz, dtype=np.int32)
+    diag_pos = np.empty(Pa, dtype=np.int32)
+    lib.tba_index_pairs_emit(
+        keys.ctypes.data_as(i64p), T, Pa, pos.ctypes.data_as(i32p),
+        tri_k.ctypes.data_as(i32p), blk_row.ctypes.data_as(i32p),
+        blk_col.ctypes.data_as(i32p), diag_pos.ctypes.data_as(i32p),
+    )
+    return tri_k, blk_row, blk_col, diag_pos
+
+
+def native_structure(pair_keys, tri_ei, tri_ej, Pa: int):
+    """Full native pattern indexing + k-sorted triple emission.
+
+    Returns (tri_ei_s, tri_ej_s, tri_k_s, blk_row, blk_col, diag_pos, rowptr)
+    with triples counting-sorted by target block, or None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    keys = np.ascontiguousarray(pair_keys, dtype=np.int64)
+    ei = np.ascontiguousarray(tri_ei, dtype=np.int64)
+    ej = np.ascontiguousarray(tri_ej, dtype=np.int64)
+    T = keys.size
+    pos = np.empty(Pa * Pa, dtype=np.int32)
+    nnz = lib.tba_index_pairs_count(
+        keys.ctypes.data_as(i64p), T, Pa, pos.ctypes.data_as(i32p)
+    )
+    tri_k = np.empty(T, dtype=np.int32)
+    blk_row = np.empty(nnz, dtype=np.int32)
+    blk_col = np.empty(nnz, dtype=np.int32)
+    diag_pos = np.empty(Pa, dtype=np.int32)
+    lib.tba_index_pairs_emit(
+        keys.ctypes.data_as(i64p), T, Pa, pos.ctypes.data_as(i32p),
+        tri_k.ctypes.data_as(i32p), blk_row.ctypes.data_as(i32p),
+        blk_col.ctypes.data_as(i32p), diag_pos.ctypes.data_as(i32p),
+    )
+    rowptr = np.empty(nnz + 1, dtype=np.int64)
+    ei_s = np.empty(T, dtype=np.int32)
+    ej_s = np.empty(T, dtype=np.int32)
+    k_s = np.empty(T, dtype=np.int32)
+    lib.tba_emit_sorted(
+        keys.ctypes.data_as(i64p), ei.ctypes.data_as(i64p),
+        ej.ctypes.data_as(i64p), T, Pa, pos.ctypes.data_as(i32p),
+        nnz, rowptr.ctypes.data_as(i64p), ei_s.ctypes.data_as(i32p),
+        ej_s.ctypes.data_as(i32p), k_s.ctypes.data_as(i32p),
+    )
+    return ei_s, ej_s, k_s, blk_row, blk_col, diag_pos, rowptr

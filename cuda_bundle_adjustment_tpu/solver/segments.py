@@ -54,6 +54,7 @@ def build_bucket_plan(
     sentinel: int | None = None,
     min_bucket: int = 4,
     max_bucket: int = 1 << 14,
+    sorted_ids: bool = False,
 ) -> BucketPlan:
     """Plan a reduction of ``len(ids)`` rows into ``num_segments`` segments.
 
@@ -72,8 +73,12 @@ def build_bucket_plan(
     if sentinel is None:
         sentinel = N
 
-    order = np.argsort(ids, kind="stable")
-    ids_s = ids[order]
+    if sorted_ids:
+        order = np.arange(N, dtype=np.int64)
+        ids_s = ids
+    else:
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
     starts = np.searchsorted(ids_s, np.arange(M))
     ends = np.searchsorted(ids_s, np.arange(M) + 1)
     counts = ends - starts

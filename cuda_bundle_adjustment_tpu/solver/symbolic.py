@@ -38,6 +38,7 @@ class SchurStructure(NamedTuple):
     tri_ei: np.ndarray  # [T] int32 edge index of the HplinvHll factor
     tri_ej: np.ndarray  # [T] int32 edge index of the Hpl^T factor
     tri_k: np.ndarray  # [T] int32 target block position
+    tri_sorted: bool  # True when triples are pre-sorted by tri_k (native path)
     rowptr: np.ndarray  # [Pa+1] int64 CSR row pointers over the blocks
     nmul_blocks: int  # == T (reference: Hsc_.nmulBlocks())
 
@@ -126,18 +127,26 @@ def build_schur_structure(
             tri_ej = np.concatenate([tri_ej, extra_ej])
             pair_keys = np.concatenate([pair_keys, pair_keys[same_pose]])
 
-    diag_keys = np.arange(Pa, dtype=np.int64) * (Pa + 1)
-    unique_keys = np.unique(np.concatenate([pair_keys, diag_keys]))
-    tri_k = np.searchsorted(unique_keys, pair_keys)
-    diag_pos = np.searchsorted(unique_keys, diag_keys)
+    # pattern indexing: the native counting pass over the dense Pa^2 key
+    # space is O(T + Pa^2) and emits the triples counting-sorted by target
+    # block; the numpy fallback sorts.  Within-block triple order is the
+    # (deterministic) enumeration order either way, so the runtime
+    # reductions are bit-reproducible per path.
+    from .native_symbolic import native_structure
 
-    # canonical triple order (by target block, then factors): deterministic
-    # reductions regardless of which enumeration path produced the triples
-    tri_order = np.lexsort((tri_ej, tri_ei, tri_k))
-    tri_ei, tri_ej, tri_k = tri_ei[tri_order], tri_ej[tri_order], tri_k[tri_order]
-
-    blk_row = (unique_keys // Pa).astype(np.int32)
-    blk_col = (unique_keys % Pa).astype(np.int32)
+    indexed = (
+        native_structure(pair_keys, tri_ei, tri_ej, Pa) if use_native else None
+    )
+    tri_sorted = indexed is not None
+    if indexed is not None:
+        tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, _ = indexed
+    else:
+        diag_keys = np.arange(Pa, dtype=np.int64) * (Pa + 1)
+        unique_keys = np.unique(np.concatenate([pair_keys, diag_keys]))
+        tri_k = np.searchsorted(unique_keys, pair_keys).astype(np.int32)
+        diag_pos = np.searchsorted(unique_keys, diag_keys).astype(np.int32)
+        blk_row = (unique_keys // Pa).astype(np.int32)
+        blk_col = (unique_keys % Pa).astype(np.int32)
     rowptr = np.zeros(Pa + 1, dtype=np.int64)
     np.add.at(rowptr, blk_row + 1, 1)
     rowptr = np.cumsum(rowptr)
@@ -145,13 +154,14 @@ def build_schur_structure(
     return SchurStructure(
         num_poses=Pa,
         num_landmarks=La,
-        nnz_blocks=int(unique_keys.size),
+        nnz_blocks=int(blk_row.size),
         blk_row=blk_row,
         blk_col=blk_col,
         diag_pos=diag_pos.astype(np.int32),
         tri_ei=tri_ei.astype(np.int32),
         tri_ej=tri_ej.astype(np.int32),
         tri_k=tri_k.astype(np.int32),
+        tri_sorted=tri_sorted,
         rowptr=rowptr,
         nmul_blocks=int(tri_k.size),
     )

@@ -94,7 +94,9 @@ def test_native_matches_numpy():
 
     np.testing.assert_array_equal(s_np.blk_row, s_nat.blk_row)
     np.testing.assert_array_equal(s_np.blk_col, s_nat.blk_col)
-    np.testing.assert_array_equal(s_np.tri_ei, s_nat.tri_ei)
-    np.testing.assert_array_equal(s_np.tri_ej, s_nat.tri_ej)
-    np.testing.assert_array_equal(s_np.tri_k, s_nat.tri_k)
+    # triples are emitted in path-specific (but deterministic) enumeration
+    # order; compare as canonicalised sets
+    trip_np = sorted(zip(s_np.tri_k.tolist(), s_np.tri_ei.tolist(), s_np.tri_ej.tolist()))
+    trip_nat = sorted(zip(s_nat.tri_k.tolist(), s_nat.tri_ei.tolist(), s_nat.tri_ej.tolist()))
+    assert trip_np == trip_nat
     np.testing.assert_array_equal(s_np.diag_pos, s_nat.diag_pos)
