@@ -85,7 +85,9 @@ class TpuGraphOptimisation:
 
         t0 = time.perf_counter()
         solver.build_structure()
-        self.timer.add(prof.PROF_BUILD_STRUCTURE, (time.perf_counter() - t0) * 1e3)
+        total_ms = (time.perf_counter() - t0) * 1e3
+        self.timer.add(prof.PROF_SYMBOLIC_DECOMP, solver.symbolic_ms)
+        self.timer.add(prof.PROF_BUILD_STRUCTURE, total_ms - solver.symbolic_ms)
 
         # the fused device-resident loop avoids per-iteration host syncs; the
         # host loop is kept for verbose/profile introspection (identical trace)
@@ -130,7 +132,10 @@ class TpuGraphOptimisation:
         for iteration in range(niterations):
             it_t0 = time.perf_counter()
 
-            chi_dev, sys = solver.head()
+            if self.should_profile:
+                chi_dev, sys = solver.head_profiled(self.timer)
+            else:
+                chi_dev, sys = solver.head()
             F = float(chi_dev)
 
             if iteration == 0:
@@ -139,7 +144,14 @@ class TpuGraphOptimisation:
             q = 0
             rho = -1.0
             while q < MAX_INNER_ITERATIONS and rho < 0:
-                new_graph, Fhat_dev, scale_dev, success_dev = solver.trial(sys, lam)
+                if self.should_profile:
+                    new_graph, Fhat_dev, scale_dev, success_dev = (
+                        solver.trial_profiled(sys, lam, self.timer)
+                    )
+                else:
+                    new_graph, Fhat_dev, scale_dev, success_dev = solver.trial(
+                        sys, lam
+                    )
                 Fhat = float(Fhat_dev)
                 scale = float(scale_dev) + 1e-3
                 success = bool(success_dev)
@@ -170,9 +182,6 @@ class TpuGraphOptimisation:
                     f"nedges= {solver.nedges()}    levenberg iterations = {q}   "
                     f"outliers = {outlier_count}"
                 )
-            if self.should_profile:
-                for name, t in self.time_profile().items():
-                    print(f"{name}:  {t:f}")
 
             if q == MAX_INNER_ITERATIONS or rho < 1e-6 or not math.isfinite(lam):
                 break

@@ -198,6 +198,8 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         """Shard-local chi + block system (poses replicated, landmarks local)."""
 
         class _D:  # PackedEdges-shaped adapter for the model fns
+            pose_xp = None
+            lm_xp = None
             pass
 
         data = _D()
@@ -366,6 +368,8 @@ def _max_diagonal(mesh, sp, q, t, Xw, rk, delta):
 
     def _md(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active):
         class _D:
+            pose_xp = None
+            lm_xp = None
             pass
 
         data = _D()

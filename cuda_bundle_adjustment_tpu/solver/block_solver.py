@@ -291,35 +291,29 @@ def _solve_reduced_blocks(
     return xp, ok & jnp.all(jnp.isfinite(xp))
 
 
-def solve_schur(
+def schur_reduce(
     sys: SystemBlocks,
     lam: jnp.ndarray,
     plan: SchurPlan,
     num_active_poses: int,
     num_active_landmarks: int,
     nnz_blocks: int,
-    mixed: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Damp, form the Schur complement, solve for poses, back-substitute
-    landmarks (stages "4: Schur Complement" + "6: Numerical Decomposition").
+    """Stage "4: Schur Complement": damp, invert Hll blocks, form
+    ``bsc = bp - Hpl inv(Hll) bl`` and the Hsc blocks
+    ``(Hpp + lam I) - Hpl inv(Hll) Hpl^T`` on the sparse block pattern.
 
-    Math parity with gpu::computeBschure / computeHschure /
-    schurComplementPost (cuda_block_solver.cu:1286-1442):
-      bsc  = bp - Hpl inv(Hll) bl
-      Hsc  = (Hpp + lam I) - Hpl inv(Hll) Hpl^T        (on the block pattern)
-      xp   = Hsc^-1 bsc
-      xl   = inv(Hll) (bl - Hpl^T xp)
+    Math parity with gpu::computeBschure / computeHschure
+    (cuda_block_solver.cu:1286-1345); returns ``(blocks, bsc, invHll)``.
     """
     from ..ops.components import (
         flat_mm_6x3_3x3,
-        flat_mtv_6x3,
-        flat_mv_3x3,
         flat_mv_6x3,
         flat_sym3x3_inv,
     )
     from .segments import reduce_pair_products, reduce_rows
 
-    Pa, La = num_active_poses, num_active_landmarks
+    Pa = num_active_poses
     dtype = sys.bp.dtype
     Hpp_d = add_lambda(sys.Hpp, lam)
     diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
@@ -338,15 +332,44 @@ def solve_schur(
     # cuda_block_solver.cu:1327-1345)
     blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
+    return blocks, bsc, invHll
 
+
+def schur_back_substitute(
+    sys: SystemBlocks,
+    invHll: jnp.ndarray,
+    xp: jnp.ndarray,
+    plan: SchurPlan,
+    num_active_poses: int,
+) -> jnp.ndarray:
+    """Landmark back-substitution ``xl = inv(Hll)(bl - Hpl^T xp)``
+    (gpu::schurComplementPost, cuda_block_solver.cu:1419-1442)."""
+    from ..ops.components import flat_mtv_6x3, flat_mv_3x3
+    from .segments import reduce_rows
+
+    Pa = num_active_poses
+    xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
+    cl = sys.bl - reduce_rows(flat_mtv_6x3(sys.Hpl, xp_e), plan.lm_plan)
+    return flat_mv_3x3(invHll, cl)
+
+
+def solve_schur(
+    sys: SystemBlocks,
+    lam: jnp.ndarray,
+    plan: SchurPlan,
+    num_active_poses: int,
+    num_active_landmarks: int,
+    nnz_blocks: int,
+    mixed: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Damp, form the Schur complement, solve for poses, back-substitute
+    landmarks (stages "4: Schur Complement" + "6: Numerical Decomposition")."""
+    Pa, La = num_active_poses, num_active_landmarks
+    blocks, bsc, invHll = schur_reduce(sys, lam, plan, Pa, La, nnz_blocks)
     xp, success = _solve_reduced_blocks(
         blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed
     )
-
-    # landmark back-substitution
-    xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
-    cl = sys.bl - reduce_rows(flat_mtv_6x3(sys.Hpl, xp_e), plan.lm_plan)
-    xl = flat_mv_3x3(invHll, cl)
+    xl = schur_back_substitute(sys, invHll, xp, plan, Pa)
     return xp, xl, success
 
 
@@ -423,6 +446,7 @@ class BlockSolver:
         self.do_schur = False
         self.schur: Optional[SchurStructure] = None
         self.plan: Optional[SchurPlan] = None
+        self.symbolic_ms = 0.0
         self._fns = None
         self._pose_set: Optional[PoseVertexSet] = None
         self._lm_set: Optional[LandmarkVertexSet] = None
@@ -656,7 +680,11 @@ class BlockSolver:
         all_pose_idx = np.concatenate([p for p, _ in self._host_idx])
         Eba = ba_pose_idx.size
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
+        self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
         s = self.schur
         self.plan = SchurPlan(
             ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
@@ -722,6 +750,51 @@ class BlockSolver:
 
     def accept(self, new_graph: GraphArrays) -> None:
         self.graph = new_graph
+
+    def trial_profiled(self, sys, lam, timer):
+        """Like :meth:`trial`, but runs each pipeline stage as its own jit
+        call bracketed by :class:`~..utils.profiling.StageTimer` syncs — the
+        TPU analogue of the reference's per-stage CUDA-event timing
+        (block_solver.h:27-39).  Used only in profile mode; the fused path
+        stays one dispatch."""
+        from ..utils import profiling as prof
+
+        lam = jnp.asarray(lam, self.dtype)
+        nnz = self.schur.nnz_blocks if self.schur is not None else 0
+        if self.do_schur:
+            with timer.stage(prof.PROF_SCHUR_COMPLEMENT, sync=lambda: bsc):
+                blocks, bsc, invHll = _jit_reduce(
+                    sys, lam, self.plan, self.metas, self.Pa, self.La, nnz
+                )
+            with timer.stage(prof.PROF_NUMERICAL_DECOMP, sync=lambda: xp):
+                xp, success = _jit_solve_reduced(
+                    blocks, bsc, self.plan, self.Pa, self.mixed
+                )
+            with timer.stage(prof.PROF_UPDATE, sync=lambda: new_graph.q):
+                xl = _jit_backsub(sys, invHll, xp, self.plan, self.Pa)
+                new_graph = _jit_update(self.graph, xp, xl, self.Pa, self.La)
+        else:
+            with timer.stage(prof.PROF_SOLVE_HPP, sync=lambda: xp):
+                xp, success = _jit_pose_only(sys, lam)
+            xl = None
+            with timer.stage(prof.PROF_UPDATE, sync=lambda: new_graph.q):
+                new_graph = _jit_update(self.graph, xp, xl, self.Pa, self.La)
+        with timer.stage(prof.PROF_COMPUTE_ERROR, sync=lambda: Fhat):
+            Fhat = _jit_chi_only(new_graph, self.packed, self.metas)
+        scale = _jit_scale(xp, xl, sys, lam)
+        return new_graph, Fhat, scale, success
+
+    def head_profiled(self, timer):
+        """Per-stage version of :meth:`head` (profile mode)."""
+        from ..utils import profiling as prof
+
+        with timer.stage(prof.PROF_COMPUTE_ERROR, sync=lambda: chi):
+            chi = _jit_chi_only(self.graph, self.packed, self.metas)
+        with timer.stage(prof.PROF_BUILD_SYSTEM, sync=lambda: sys.bp):
+            sys = build_system_jit(
+                self.graph, self.packed, self.plan, self.metas, self.Pa, self.La
+            )
+        return chi, sys
 
     # -- outliers ---------------------------------------------------------------
 
@@ -809,6 +882,48 @@ def _jit_trial(graph, sys, lam, packed, plan, metas, Pa, La, nnz, do_schur, mixe
     Fhat = compute_chi(new_graph, packed, metas)
     scale = compute_scale(xp, xl, sys, lam)
     return new_graph, Fhat, scale, success
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "Pa", "La"))
+def build_system_jit(graph, packed, plan, metas, Pa, La):
+    return build_system(graph, packed, metas, Pa, La, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "Pa", "La", "nnz"))
+def _jit_reduce(sys, lam, plan, metas, Pa, La, nnz):
+    return schur_reduce(sys, lam, plan, Pa, La, nnz)
+
+
+@functools.partial(jax.jit, static_argnames=("Pa", "mixed"))
+def _jit_solve_reduced(blocks, bsc, plan, Pa, mixed):
+    return _solve_reduced_blocks(
+        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("Pa",))
+def _jit_backsub(sys, invHll, xp, plan, Pa):
+    return schur_back_substitute(sys, invHll, xp, plan, Pa)
+
+
+@functools.partial(jax.jit, static_argnames=("Pa", "La"))
+def _jit_update(graph, xp, xl, Pa, La):
+    return apply_update(graph, xp, xl, Pa, La)
+
+
+@jax.jit
+def _jit_scale(xp, xl, sys, lam):
+    return compute_scale(xp, xl, sys, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("metas",))
+def _jit_chi_only(graph, packed, metas):
+    return compute_chi(graph, packed, metas)
+
+
+@jax.jit
+def _jit_pose_only(sys, lam):
+    return solve_pose_only(sys, lam)
 
 
 @functools.partial(jax.jit, static_argnames=("metas",))

@@ -1,0 +1,88 @@
+"""Distributed Schur-complement BA over a device mesh.
+
+New scope relative to the single-GPU reference (SURVEY.md §2.3): shards
+edges and landmarks over an N-device mesh, computes per-shard Schur
+contributions locally, reduces the (small, replicated) camera system with a
+``psum`` over ICI, solves it on every device, and back-substitutes the
+landmark shards locally — the standard distributed-Schur decomposition
+mapped onto XLA collectives via ``shard_map``.
+
+Runs on real devices when available; otherwise set
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
+for a virtual 8-device CPU mesh (what this script defaults to when it
+detects a single device).
+
+Usage:
+    python samples/sample_distributed_schur.py [num_devices] [niterations]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv: list[str]) -> int:
+    want = int(argv[0]) if argv else 8
+
+    # the backend is selected lazily: forcing the CPU platform + a virtual
+    # device mesh works as long as no array op ran yet
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={want}"
+    )
+    import jax
+
+    # force the CPU backend unless the default platform already offers a
+    # big-enough mesh (on a real pod slice it will)
+    if os.environ.get("TBA_REAL_MESH", "") != "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_ba_problem
+    from cuda_bundle_adjustment_tpu.parallel.distributed import (
+        distributed_optimize,
+        shard_problem,
+    )
+
+    niter = int(argv[1]) if len(argv) > 1 and argv[1].isdigit() else 5
+
+    # city-scale synthetic, scaled down to keep the CPU demo quick; raise the
+    # sizes on a real pod slice
+    problem = make_ba_problem(
+        num_poses=400,
+        num_landmarks=20_000,
+        mean_obs_per_landmark=4.2,
+        kind="mono",
+        seed=0,
+    )
+
+    devices = np.array(jax.devices()[:want])
+    mesh = Mesh(devices, ("d",))
+    sp = shard_problem(problem, want)
+    print(f"mesh: {want} x {devices[0].platform} | "
+          f"P={problem.pose_q.shape[0]} L={problem.landmarks.shape[0]} "
+          f"E={problem.meas.shape[0]} | per-shard E={sp.meas.shape[1]}")
+
+    t0 = time.perf_counter()
+    trace, (q, t, Xw) = distributed_optimize(mesh, sp, niter)
+    jax.block_until_ready(q)
+    elapsed = time.perf_counter() - t0
+
+    print(f"\n{niter} LM iterations in {elapsed:.2f}s")
+    for i, c in enumerate(trace, 1):
+        print(f"iter= {i:2d}   chi2= {c:.1f}")
+    assert trace[-1] < trace[0], "chi2 did not decrease"
+    print("DISTRIBUTED OK")
+    return 0
+
+
+if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--no-reexec"]
+    raise SystemExit(main(argv))
