@@ -75,8 +75,13 @@ def make_ba_problem(
     yaw = np.cos(np.arange(P) * 0.02) * 0.05
     q_gt = _axis_angle_quat(np.tile(np.array([0.0, 1.0, 0.0]), (P, 1)), yaw)
 
-    # landmarks spread around the trajectory, in front of their anchor poses
-    anchor = rng.integers(0, P, size=L)
+    # landmarks spread around the trajectory, in front of their anchor poses;
+    # anchors are SORTED: real SLAM maps create landmarks sequentially as the
+    # camera moves, so landmark ids correlate with trajectory position (true
+    # of the KITTI BA graphs) — downstream, this gives the Pallas expansion
+    # windows their locality (pallas/expand.py; arbitrary orders fall back to
+    # XLA gathers)
+    anchor = np.sort(rng.integers(0, P, size=L))
     local = np.stack(
         [
             rng.uniform(-15.0, 15.0, L),
@@ -157,12 +162,19 @@ def make_ba_problem(
 
 
 def kitti00_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
-    """A problem with ba_kitti_00's dimensions (README.md:36)."""
+    """A problem with ba_kitti_00's dimensions (README.md:36).
+
+    The noise levels put the graph in the near-converged regime of the
+    reference benchmark (its KITTI-00 input is the output of a VSLAM run:
+    chi2 only drops 334210 -> 320086 over 10 iterations, ~1 LM trial per
+    iteration), so per-iteration work is comparable."""
     return make_ba_problem(
         num_poses=1322,
         num_landmarks=133383,
         mean_obs_per_landmark=561116 / 133383,
         kind=kind,
+        landmark_noise=0.01,
+        pose_noise=0.0005,
         seed=seed,
     )
 

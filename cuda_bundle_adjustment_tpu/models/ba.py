@@ -39,7 +39,7 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
     (pallas/expand.py, ~3x faster than XLA row gathers and bit-identical);
     the XLA gather is the CPU/test fallback."""
     if data.pose_xp is not None:
-        from ..pallas.expand import expand
+        from ..pallas.onehot import expand
 
         qt = expand(jnp.concatenate([graph.q, graph.t], axis=1), data.pose_xp)
         q = tuple(qt[i] for i in range(4))

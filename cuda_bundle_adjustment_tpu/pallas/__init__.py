@@ -9,4 +9,4 @@ lanes), windows of the source tables are DMA'd contiguously, and the
 (never materialised to HBM).
 """
 
-from .expand import build_expand_plan, expand
+from .onehot import build_expand_plan, expand

@@ -81,6 +81,8 @@ def build_expand_plan(
     span = 128
     if M <= max_window:
         window = _ceil_to(max(M, 128), 128)  # full table fits: one window
+        if window > 1024:
+            window = _ceil_to(window, 1024)  # W-tiling granularity
     else:
         for g in range(nch):
             valid = by_chunk[g][by_chunk[g] < M]
@@ -90,6 +92,8 @@ def build_expand_plan(
             starts[g] = (lo // 128) * 128  # DMA starts must be lane-aligned
             span = max(span, hi - starts[g] + 1)
         window = _ceil_to(span, 128)
+        if window > 1024:
+            window = _ceil_to(window, 1024)  # W-tiling granularity
         if window > max_window:
             return None
         starts = np.minimum(starts, max(M - 1, 0))
@@ -124,20 +128,45 @@ def _make_kernel(K: int, W: int, C: int, CSUB: int, nsplit: int):
             for d in dmas:
                 d.wait()
 
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (W, CSUB), 0)
-            for t in range(C // CSUB):
-                il = idx_ref[0, t : t + 1, :] - start  # [1, CSUB]
-                onehot = (row_ids == il).astype(jnp.float32)  # [W, CSUB]
-                for p in range(nsplit):
+            WT = min(W, 1024)  # onehot tile: bounds VMEM at [WT, CSUB]
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (WT, CSUB), 0)
+
+            # fori_loops (not unrolled python loops): Mosaic then reuses one
+            # onehot buffer instead of allocating every tile at once
+            def subtile(t, carry):
+                il = idx_ref[0, pl.ds(t, 1), :] - start  # [1, CSUB]
+
+                def wtile(w, accs):
+                    onehot = (row_ids + w * WT == il).astype(jnp.float32)
                     # precision=HIGHEST: the default bf16 MXU path would
                     # truncate the table values; the x3-bf16 decomposition
-                    # is exact for products against a 0/1 matrix
-                    out_refs[p][:, t * CSUB : (t + 1) * CSUB] = jnp.dot(
-                        wins[p][:, :],
-                        onehot,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                    # is exact for products against a 0/1 matrix (and the
+                    # accumulation over W-tiles adds at most one nonzero)
+                    return tuple(
+                        accs[p]
+                        + jnp.dot(
+                            wins[p][:, pl.ds(w * WT, WT)],
+                            onehot,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        for p in range(nsplit)
                     )
+
+                accs = jax.lax.fori_loop(
+                    0,
+                    W // WT,
+                    wtile,
+                    tuple(
+                        jnp.zeros((wins[0].shape[0], CSUB), jnp.float32)
+                        for _ in range(nsplit)
+                    ),
+                )
+                for p in range(nsplit):
+                    out_refs[p][:, pl.ds(t * CSUB, CSUB)] = accs[p]
+                return carry
+
+            jax.lax.fori_loop(0, C // CSUB, subtile, 0)
 
         pl.run_scoped(
             body,
@@ -195,7 +224,12 @@ def expand(
     W = plan.window
     # transpose (tiny table), split f64 into three exact f32 summands, pad
     # columns by one window so any in-range DMA start is safe and the
-    # component dim to a sublane multiple (DMA slice alignment)
+    # component dim to a sublane multiple (DMA slice alignment).
+    # optimization_barrier: under --xla_allow_excess_precision XLA may fuse
+    # the table's producer into the split with extra precision, so
+    # ``hi = f32(x)`` would not be the exactly-rounded value and the 3-way
+    # decomposition would no longer reconstruct x bit-for-bit
+    table = jax.lax.optimization_barrier(table)
     K8 = _ceil_to(K, 8)
     tT = jnp.swapaxes(table, 0, 1)  # [K, M]
     tT = jnp.pad(tT, ((0, K8 - K), (0, 0)))

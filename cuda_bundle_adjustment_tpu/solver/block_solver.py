@@ -328,7 +328,7 @@ def schur_reduce(
     bsc = sys.bp - reduce_rows(flat_mv_6x3(W, bl_e), plan.bsc_plan)
 
     # triple products Hsc[k] -= W[ei] Hpl[ej]^T as scatter-free bucketed
-    # batched matmuls (reference: one-thread-per-triple atomics,
+    # batched contractions (reference: one-thread-per-triple atomics,
     # cuda_block_solver.cu:1327-1345)
     blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
@@ -686,16 +686,17 @@ class BlockSolver:
         self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
         self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
         s = self.schur
+        tri_plan = build_bucket_plan(
+            s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
+            sentinel=Eba, sorted_ids=s.tri_sorted,
+        )
         self.plan = SchurPlan(
             ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
             ba_lm_idx=jnp.asarray(ba_lm_idx, jnp.int32),
             blk_row=jnp.asarray(s.blk_row),
             blk_col=jnp.asarray(s.blk_col),
             diag_pos=jnp.asarray(s.diag_pos),
-            tri_plan=build_bucket_plan(
-                s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
-                sentinel=Eba, sorted_ids=s.tri_sorted,
-            ),
+            tri_plan=tri_plan,
             bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
             lm_plan=build_bucket_plan(ba_lm_idx, self.La),
             pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
@@ -709,7 +710,7 @@ class BlockSolver:
         returns None without it and the edge set keeps the fallback."""
         if jax.default_backend() == "cpu":
             return
-        from ..pallas.expand import build_expand_plan
+        from ..pallas.onehot import build_expand_plan
 
         new_packed = []
         for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):

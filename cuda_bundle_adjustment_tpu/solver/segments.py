@@ -55,6 +55,7 @@ def build_bucket_plan(
     min_bucket: int = 4,
     max_bucket: int = 1 << 14,
     sorted_ids: bool = False,
+    host_out: dict | None = None,
 ) -> BucketPlan:
     """Plan a reduction of ``len(ids)`` rows into ``num_segments`` segments.
 
@@ -112,13 +113,17 @@ def build_bucket_plan(
         pos = row_start[rows][:, None] + offs[None, :]
         valid = offs[None, :] < row_len[rows][:, None]
         streams = []
+        host_streams = []
         for p in payloads:
             if N == 0:
                 g = np.full(pos.shape, sentinel, dtype=np.int64)
             else:
                 g = np.where(valid, p[order[np.minimum(pos, N - 1)]], sentinel)
-            streams.append(jnp.asarray(g.astype(np.int32)))
+            host_streams.append(g.astype(np.int32))
+            streams.append(jnp.asarray(host_streams[-1]))
         payload_buckets.append(tuple(streams))
+        if host_out is not None:
+            host_out.setdefault("buckets", []).append(tuple(host_streams))
     row_order = np.concatenate(row_order) if row_order else np.zeros(0, np.int64)
     pos_of_row = np.empty(total_rows, dtype=np.int64)
     pos_of_row[row_order] = np.arange(total_rows)
@@ -158,8 +163,10 @@ def reduce_pair_products(
     over 6x3 blocks stored flat ``[N, 18]`` -> ``[M, 36]`` flat 6x6 blocks.
 
     This is the Schur multiply stage (cuda_block_solver.cu:1327-1345) as a
-    per-bucket batched ``dot_general`` (MXU) instead of a 1-thread-per-triple
-    atomic kernel.
+    per-bucket batched contraction instead of a 1-thread-per-triple atomic
+    kernel.  (A Pallas one-hot routing of the factor gathers was tried and
+    reverted: the W-tiled accumulation loop was latency-bound and XLA's
+    fusion of the f64 split broke exactness — see git history.)
     """
     Ae = jnp.concatenate([A, jnp.zeros((1, 18), A.dtype)], axis=0)
     Be = jnp.concatenate([B, jnp.zeros((1, 18), B.dtype)], axis=0)

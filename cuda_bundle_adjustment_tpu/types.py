@@ -31,7 +31,7 @@ class PackedEdges(NamedTuple):
     active: jnp.ndarray  # [E] float mask: 1.0 active, 0.0 outlier
     # Pallas one-hot expansion plans for the per-edge state gathers
     # (q/t by pose_idx, Xw by lm_idx); None -> plain XLA gathers (CPU path)
-    pose_xp: object = None  # Optional[pallas.expand.ExpandPlan]
+    pose_xp: object = None  # Optional[pallas.onehot.ExpandPlan]
     lm_xp: object = None
 
 

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cuda_bundle_adjustment_tpu.pallas.expand import build_expand_plan, expand
+from cuda_bundle_adjustment_tpu.pallas.onehot import build_expand_plan, expand
 
 
 @pytest.mark.parametrize("M,K,E", [(50, 7, 300), (1321, 7, 5000)])
