@@ -115,14 +115,36 @@ def build_system(
     Pa, La = num_active_poses, num_active_landmarks
     dtype = graph.q.dtype
     pose_stacks, lm_stacks, Hpl_parts = [], [], []
+    all_ba = all(m.has_landmark for m in metas)
 
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
         pose_stack, lm_stack, hpl = model.terms(graph, data, meta.rk, meta.delta)
-        pose_stacks.append((pose_stack, data.pose_idx))
-        if meta.has_landmark:
-            lm_stacks.append((lm_stack, data.lm_idx))
-            Hpl_parts.append(hpl)
+        if all_ba and plan is not None:
+            # ONE [E,72] stack per set instead of three: every [E,K<128]
+            # array pads to [E,128] physically, so separate 42/12/18-wide
+            # stacks cost ~3x the HBM writes.  The pose/landmark reductions
+            # sum whole rows (the unused columns are discarded after), which
+            # reads the same padded bytes either way.
+            pose_stacks.append(
+                (jnp.concatenate([pose_stack, lm_stack, hpl], axis=1), None)
+            )
+        else:
+            pose_stacks.append((pose_stack, data.pose_idx))
+            if meta.has_landmark:
+                lm_stacks.append((lm_stack, data.lm_idx))
+                Hpl_parts.append(hpl)
+
+    if all_ba and plan is not None:
+        combined = jnp.concatenate([s for s, _ in pose_stacks], axis=0)  # [E,72]
+        pose_acc = reduce_rows(combined, plan.pose_plan)[:, :42]
+        lm_acc = reduce_rows(combined, plan.lm_plan)[:, 42:54]
+        Hpl = combined[:, 54:]
+        Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
+        return SystemBlocks(
+            Hpp=Hpp, bp=pose_acc[:, 36:], Hll=lm_acc[:, :9], bl=lm_acc[:, 9:],
+            Hpl=Hpl,
+        )
 
     if plan is not None and plan.pose_plan is not None:
         pose_acc = reduce_rows(
