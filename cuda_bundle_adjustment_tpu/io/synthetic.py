@@ -188,3 +188,20 @@ def kitti07_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
         kind=kind,
         seed=seed,
     )
+
+
+def city_scale_problem(
+    kind: str = "mono", seed: int = 0, scale: float = 1.0
+) -> BAProblem:
+    """The BASELINE distributed config: a city-scale graph (~10k poses /
+    1M landmarks at ``scale=1``) for multi-host Schur benchmarks.  ``scale``
+    shrinks it proportionally for CPU-mesh validation runs."""
+    return make_ba_problem(
+        num_poses=max(8, int(10_000 * scale)),
+        num_landmarks=max(64, int(1_000_000 * scale)),
+        mean_obs_per_landmark=4.2,
+        kind=kind,
+        landmark_noise=0.01,
+        pose_noise=0.0005,
+        seed=seed,
+    )

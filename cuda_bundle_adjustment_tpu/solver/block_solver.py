@@ -343,11 +343,12 @@ def schur_reduce(
     invHll = flat_sym3x3_inv(Hll_d)  # [La,9] flat
 
     # per-edge W = Hpl inv(Hll); zero rows for non-both-free edges keep the
-    # out-of-range gathers harmless (Hpl is already masked at assembly)
-    inv_e = invHll[plan.ba_lm_idx]  # [E,9]
-    W = flat_mm_6x3_3x3(sys.Hpl, inv_e)  # [E,18]
-    bl_e = sys.bl[plan.ba_lm_idx]
-    bsc = sys.bp - reduce_rows(flat_mv_6x3(W, bl_e), plan.bsc_plan)
+    # out-of-range gathers harmless (Hpl is already masked at assembly).
+    # ONE row gather of the combined [La,12] table instead of two — TPU
+    # gather cost is per-row, not per-byte
+    ib = jnp.concatenate([invHll, sys.bl], axis=1)[plan.ba_lm_idx]  # [E,12]
+    W = flat_mm_6x3_3x3(sys.Hpl, ib[:, :9])  # [E,18]
+    bsc = sys.bp - reduce_rows(flat_mv_6x3(W, ib[:, 9:]), plan.bsc_plan)
 
     # triple products Hsc[k] -= W[ei] Hpl[ej]^T as scatter-free bucketed
     # batched contractions (reference: one-thread-per-triple atomics,

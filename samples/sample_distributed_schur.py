@@ -53,15 +53,22 @@ def main(argv: list[str]) -> int:
 
     niter = int(argv[1]) if len(argv) > 1 and argv[1].isdigit() else 5
 
-    # city-scale synthetic, scaled down to keep the CPU demo quick; raise the
-    # sizes on a real pod slice
-    problem = make_ba_problem(
-        num_poses=400,
-        num_landmarks=20_000,
-        mean_obs_per_landmark=4.2,
-        kind="mono",
-        seed=0,
-    )
+    if "--city" in argv:
+        # the BASELINE distributed config (10k poses / 1M landmarks at
+        # scale=1); pass a fraction to shrink for CPU-mesh validation
+        from cuda_bundle_adjustment_tpu.io.synthetic import city_scale_problem
+
+        scale = float(argv[argv.index("--city") + 1])
+        problem = city_scale_problem(scale=scale)
+    else:
+        # small default that keeps the CPU demo quick
+        problem = make_ba_problem(
+            num_poses=400,
+            num_landmarks=20_000,
+            mean_obs_per_landmark=4.2,
+            kind="mono",
+            seed=0,
+        )
 
     devices = np.array(jax.devices()[:want])
     mesh = Mesh(devices, ("d",))
