@@ -213,4 +213,43 @@ void tba_index_pairs_emit(
     }
 }
 
+// Fill one bucket's [n_b, S] gather matrix: row r takes payload values at
+// positions perm[row_start[r] .. row_start[r]+row_len[r]) and pads with
+// `sentinel`.  perm == nullptr means identity (pre-sorted ids fast path).
+void tba_fill_bucket(
+    const int64_t* payload,
+    const int64_t* perm,          // may be null
+    const int64_t* row_start,     // [n_b]
+    const int64_t* row_len,       // [n_b]
+    int64_t n_b,
+    int64_t S,
+    int64_t sentinel,
+    int32_t* out)                 // [n_b * S]
+{
+    for (int64_t r = 0; r < n_b; ++r)
+    {
+        const int64_t start = row_start[r];
+        const int64_t len = row_len[r];
+        int32_t* dst = out + r * S;
+        if (perm)
+        {
+            for (int64_t j = 0; j < len; ++j)
+            {
+                dst[j] = static_cast<int32_t>(payload[perm[start + j]]);
+            }
+        }
+        else
+        {
+            for (int64_t j = 0; j < len; ++j)
+            {
+                dst[j] = static_cast<int32_t>(payload[start + j]);
+            }
+        }
+        for (int64_t j = len; j < S; ++j)
+        {
+            dst[j] = static_cast<int32_t>(sentinel);
+        }
+    }
+}
+
 }  // extern "C"

@@ -41,6 +41,10 @@ def _load():
     lib.tba_index_pairs_emit.restype = None
     lib.tba_index_pairs_emit.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p, i32p]
+    lib.tba_fill_bucket.restype = None
+    lib.tba_fill_bucket.argtypes = [
+        i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p]
     lib.tba_emit_sorted.restype = None
     lib.tba_emit_sorted.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i32p,
@@ -157,3 +161,28 @@ def native_structure(pair_keys, tri_ei, tri_ej, Pa: int):
         ej_s.ctypes.data_as(i32p), k_s.ctypes.data_as(i32p),
     )
     return ei_s, ej_s, k_s, blk_row, blk_col, diag_pos, rowptr
+
+
+def native_fill_bucket(payload, perm, row_start, row_len, S, sentinel):
+    """C++ bucket-matrix fill; returns None if the lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    payload = np.ascontiguousarray(payload, dtype=np.int64)
+    row_start = np.ascontiguousarray(row_start, dtype=np.int64)
+    row_len = np.ascontiguousarray(row_len, dtype=np.int64)
+    n_b = row_start.size
+    out = np.empty(n_b * int(S), dtype=np.int32)
+    pptr = (
+        np.ascontiguousarray(perm, dtype=np.int64).ctypes.data_as(i64p)
+        if perm is not None
+        else ctypes.cast(None, i64p)
+    )
+    lib.tba_fill_bucket(
+        payload.ctypes.data_as(i64p), pptr,
+        row_start.ctypes.data_as(i64p), row_len.ctypes.data_as(i64p),
+        n_b, int(S), int(sentinel), out.ctypes.data_as(i32p),
+    )
+    return out.reshape(n_b, int(S))

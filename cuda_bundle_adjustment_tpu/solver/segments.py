@@ -116,10 +116,23 @@ def build_bucket_plan(
         host_streams = []
         for p in payloads:
             if N == 0:
-                g = np.full(pos.shape, sentinel, dtype=np.int64)
+                g = np.full(pos.shape, sentinel, dtype=np.int32)
             else:
-                g = np.where(valid, p[order[np.minimum(pos, N - 1)]], sentinel)
-            host_streams.append(g.astype(np.int32))
+                from .native_symbolic import native_fill_bucket
+
+                g = native_fill_bucket(
+                    p,
+                    None if sorted_ids else order,
+                    row_start[rows],
+                    row_len[rows],
+                    S,
+                    sentinel,
+                )
+                if g is None:  # native lib absent: vectorised numpy fallback
+                    g = np.where(
+                        valid, p[order[np.minimum(pos, N - 1)]], sentinel
+                    ).astype(np.int32)
+            host_streams.append(g)
             streams.append(jnp.asarray(host_streams[-1]))
         payload_buckets.append(tuple(streams))
         if host_out is not None:
