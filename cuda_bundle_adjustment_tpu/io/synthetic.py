@@ -79,7 +79,7 @@ def make_ba_problem(
     # anchors are SORTED: real SLAM maps create landmarks sequentially as the
     # camera moves, so landmark ids correlate with trajectory position (true
     # of the KITTI BA graphs) — downstream, this gives the Pallas expansion
-    # windows their locality (pallas/expand.py; arbitrary orders fall back to
+    # windows their locality (pallas/onehot.py; arbitrary orders fall back to
     # XLA gathers)
     anchor = np.sort(rng.integers(0, P, size=L))
     local = np.stack(

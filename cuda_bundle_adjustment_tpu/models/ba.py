@@ -36,7 +36,7 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
     """Gather per-edge component vectors (all [E]) from the small state tables.
 
     On TPU the gathers run as exact Pallas one-hot MXU selections
-    (pallas/expand.py, ~3x faster than XLA row gathers and bit-identical);
+    (pallas/onehot.py, ~3x faster than XLA row gathers and bit-identical);
     the XLA gather is the CPU/test fallback."""
     if data.pose_xp is not None:
         from ..pallas.onehot import expand
