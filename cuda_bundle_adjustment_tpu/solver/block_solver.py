@@ -73,6 +73,8 @@ class SchurPlan(NamedTuple):
     bsc_plan: object
     lm_plan: object
     pose_plan: object
+    blk_row_plan: object = None  # Hsc blocks -> pose rows (refinement SpMV)
+    blk_col_plan: object = None  # Hsc blocks -> pose cols (transpose term)
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +244,8 @@ def _solve_reduced_blocks(
     bsc: jnp.ndarray,
     num_active_poses: int,
     mixed: bool,
+    row_plan=None,
+    col_plan=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve ``Hsc xp = bsc`` given Hsc as flat upper-tri 6x6 blocks, without
     ever materialising a dense f64 matrix (one f64 dense copy of KITTI-00's
@@ -296,6 +300,11 @@ def _solve_reduced_blocks(
     offm = off.astype(dtype)[:, None]
 
     def matvec(xv):  # symmetric block SpMV in the scaled space, f64
+        if row_plan is not None:
+            from .segments import reduce_rows
+
+            y = reduce_rows(flat_mv_6x6(bl_s, xv[bcol]), row_plan)
+            return y + reduce_rows(flat_mtv_6x6(bl_s * offm, xv[brow]), col_plan)
         y = segment_sum(flat_mv_6x6(bl_s, xv[bcol]), brow, num_segments=Pa)
         return y + segment_sum(
             flat_mtv_6x6(bl_s * offm, xv[brow]), bcol, num_segments=Pa
@@ -390,7 +399,8 @@ def solve_schur(
     Pa, La = num_active_poses, num_active_landmarks
     blocks, bsc, invHll = schur_reduce(sys, lam, plan, Pa, La, nnz_blocks)
     xp, success = _solve_reduced_blocks(
-        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed
+        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
+        plan.blk_row_plan, plan.blk_col_plan,
     )
     xl = schur_back_substitute(sys, invHll, xp, plan, Pa)
     return xp, xl, success
@@ -723,6 +733,8 @@ class BlockSolver:
             bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
             lm_plan=build_bucket_plan(ba_lm_idx, self.La),
             pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
+            blk_row_plan=build_bucket_plan(s.blk_row, self.Pa, sorted_ids=True),
+            blk_col_plan=build_bucket_plan(s.blk_col, self.Pa),
         )
         self._compile()
 
@@ -921,7 +933,8 @@ def _jit_reduce(sys, lam, plan, metas, Pa, La, nnz):
 @functools.partial(jax.jit, static_argnames=("Pa", "mixed"))
 def _jit_solve_reduced(blocks, bsc, plan, Pa, mixed):
     return _solve_reduced_blocks(
-        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed
+        blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
+        plan.blk_row_plan, plan.blk_col_plan,
     )
 
 
