@@ -642,6 +642,25 @@ class BlockSolver:
         free_p = np.empty(E, dtype=np.float64)
         free_l = np.zeros(E, dtype=np.float64)
 
+        # Guard against the silent degenerate system the reference only
+        # half-protects against (optimisable_graph.hpp:478-482 asserts the
+        # converse): with the global-omega mode active, per-edge information
+        # is ignored, so a zero edge-set information plus non-zero per-edge
+        # values means the user forgot ``per_edge_information=True``.
+        if (
+            E > 0
+            and not opts.per_edge_information
+            and es.information == 0.0
+            and any(e.information != 0.0 for e in rows)
+        ):
+            raise ValueError(
+                f"{es.KIND} edge set: edges carry non-zero information but the "
+                "edge set's global information is 0 and "
+                "GraphOptimisationOptions.per_edge_information is False; either "
+                "call edge_set.set_information(...) or enable per-edge "
+                "information in the options"
+            )
+
         global_cam = es.camera.to_vec()
         for i, edge in enumerate(rows):
             omega[i] = edge.information if opts.per_edge_information else es.information

@@ -184,3 +184,23 @@ def test_pose_only_plane_graph():
     est = poses.get_vertex(0).estimate
     np.testing.assert_allclose(est.t, 0.0, atol=1e-6)
     np.testing.assert_allclose(np.abs(est.q[3]), 1.0, atol=1e-6)
+
+
+def test_forgotten_per_edge_information_raises():
+    """Per-edge omegas with the global-omega mode active would silently zero
+    the whole system (reference asserts the converse, optimisable_graph.hpp:478).
+    """
+    problem = make_ba_problem(num_poses=4, num_landmarks=20, kind="mono", seed=31)
+    poses, landmarks, edge_set = _build_object_graph(
+        problem, tba.MonoEdge, tba.MonoEdgeSet
+    )
+    edge_set.set_information(0.0)  # forgot the global omega...
+    for edge in edge_set.edges:
+        edge.set_information(2.0)  # ...but set per-edge values
+
+    opt = tba.TpuGraphOptimisation.create()  # per_edge_information defaults off
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(edge_set)
+    with pytest.raises(ValueError, match="per_edge_information"):
+        opt.initialize()
