@@ -42,9 +42,21 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
         from ..pallas.onehot import expand
 
         qt = expand(jnp.concatenate([graph.q, graph.t], axis=1), data.pose_xp)
+        Xw3 = expand(graph.Xw, data.lm_xp)
+        E = data.pose_idx.shape[0]
+        if qt.shape[1] < E:
+            # expansion plans may cover only a prefix (group layout keeps
+            # the scattered extras tail out of the windowed kernel); gather
+            # the tail rows with XLA — it is tiny
+            pi_t = data.pose_idx[qt.shape[1] :]
+            li_t = data.lm_idx[qt.shape[1] :]
+            qtbl = jnp.concatenate([graph.q, graph.t], axis=1).T
+            qt = jnp.concatenate(
+                [qt, qtbl[:, jnp.minimum(pi_t, qtbl.shape[1] - 1)]], axis=1
+            )
+            Xw3 = jnp.concatenate([Xw3, graph.Xw.T[:, li_t]], axis=1)
         q = tuple(qt[i] for i in range(4))
         t = tuple(qt[4 + i] for i in range(3))
-        Xw3 = expand(graph.Xw, data.lm_xp)
         Xw = tuple(Xw3[i] for i in range(3))
     else:
         qT = graph.q.T  # [4, P] — tiny transpose

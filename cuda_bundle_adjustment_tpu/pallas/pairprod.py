@@ -1,0 +1,202 @@
+"""Double-float pair-product kernel for the grouped Schur complement.
+
+Computes, for every (degree-class, slot pair (a, b), landmark chunk), the
+6x6 block ``sum_{g in chunk} W[e_{g,a}] @ Hpl[e_{g,b}]^T`` summed over the
+chunk's ``Gc`` group members — the grouped form of the Schur triple product
+(reference: gpu::computeHschureKernel, cuda_block_solver.cu:1327-1345).
+The co-visibility layout (solver/groups.py) stores edges slot-major, so each
+input block is a contiguous DMA and the chunk reduction is a dense sublane
+tree: no gathers, no scatters.
+
+Precision: TPU f64 is a float-float pair (~49-bit); this kernel carries
+explicit (hi, lo) f32 pairs through Dekker products and two-sum
+accumulation, which is precision-equivalent to XLA's emulated f64
+(verified ~2e-16 term-relative on v5e).  Two Mosaic hazards are handled:
+
+* Mosaic algebraically simplifies pure add/sub chains, silently destroying
+  two-sum compensation terms — a through-int ``bitcast`` is a free
+  optimization barrier (``_opaque``);
+* the kernel traces with x64 disabled (global x64 leaks i64 scalars that
+  Mosaic cannot legalize).
+
+Error budget per output element: products are Dekker-exact; their error
+terms and the sublane tree's compensation accumulate through ``two_sum``
+with plain-f32 low parts, giving ~1e-14 relative to the summed-term
+magnitudes — the same property (not per-entry relative error under
+cancellation) as XLA's float-float arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 128  # chunk-lanes per grid step; nc_pad is a multiple of this
+
+
+def _opaque(x):
+    return pltpu.bitcast(pltpu.bitcast(x, jnp.int32), jnp.float32)
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = _opaque(s) - a
+    e = (a - (_opaque(s) - v)) + (b - v)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    s = a + b
+    e = b - (_opaque(s) - a)
+    return s, e
+
+
+def _split(a):
+    """Dekker split of f32 into 12+12-bit halves (products of halves exact)."""
+    c = a * 4097.0
+    hi = c - _opaque(c - a)
+    lo = a - _opaque(hi)
+    return hi, lo
+
+
+def _make_kernel(gc: int):
+    def kernel(a_lut, b_lut, whi, wlo, hhi, hlo, ohi, olo):
+        # blocks: whi/wlo/hhi/hlo [18, 1, gc, TILE_N] (slot pre-selected by
+        # the index maps); outputs [1, 36, TILE_N].
+        # Pre-split the 18 hi rows of each operand once (Dekker halves are
+        # reused across the 6 pairings each row participates in).
+        w_rows = []
+        for r in range(18):
+            a = whi[r, 0]
+            ah, al = _split(a)
+            w_rows.append((a, ah, al, wlo[r, 0]))
+        h_rows = []
+        for r in range(18):
+            b = hhi[r, 0]
+            bh, bl = _split(b)
+            h_rows.append((b, bh, bl, hlo[r, 0]))
+
+        for i in range(6):
+            for j in range(6):
+                # c-sum of three Dekker products, hi via two_sum chains,
+                # error terms in plain f32 (they are ~2^-24 of the hi terms)
+                P = None
+                E = None
+                for c in range(3):
+                    a, ah, al, alo = w_rows[3 * i + c]
+                    b, bh, bl, blo = h_rows[3 * j + c]
+                    p = a * b
+                    e = ((ah * bh - _opaque(p)) + ah * bl + al * bh) + al * bl
+                    e = e + (a * blo + alo * b)
+                    if P is None:
+                        P, E = p, e
+                    else:
+                        P, carry = _two_sum(P, p)
+                        E = E + (e + carry)
+                # sublane tree: every roll step folds rows r and r+sh; row 0
+                # ends with the full chunk sum (circular wrap only pollutes
+                # rows > 0, which are discarded)
+                sh = gc // 2
+                while sh >= 1:
+                    rp = pltpu.roll(P, sh, axis=0)
+                    re = pltpu.roll(E, sh, axis=0)
+                    P, carry = _two_sum(P, rp)
+                    E = E + (re + carry)
+                    sh //= 2
+                hi, lo = _quick_two_sum(P, E)
+                ohi[0, 6 * i + j, :] = hi[0, :]
+                olo[0, 6 * i + j, :] = lo[0, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("d", "gc", "interpret"))
+def _pairprod_call(whi, wlo, hhi, hlo, a_lut, b_lut, d, gc, interpret=False):
+    """Inputs [18, d, gc, nc_pad] f32; outputs ([npairs, 36, nc_pad],) x 2."""
+    npairs = a_lut.shape[0]
+    nc_pad = whi.shape[-1]
+    grid = (nc_pad // TILE_N, npairs)
+
+    def w_map(n, p, al, bl):
+        return (0, al[p], 0, n)
+
+    def h_map(n, p, al, bl):
+        return (0, bl[p], 0, n)
+
+    def o_map(n, p, al, bl):
+        return (p, 0, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((18, 1, gc, TILE_N), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, 1, gc, TILE_N), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, 1, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, 1, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((npairs, 36, nc_pad), jnp.float32) for _ in range(2)
+    ]
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _make_kernel(gc),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a_lut, b_lut, whi, wlo, hhi, hlo)
+
+
+def schur_pair_rows(W, Hpl, plan, interpret: bool = False):
+    """Grouped pair-product rows for all classes.
+
+    ``W``/``Hpl``: ``[E', 18]`` f64 per-edge blocks in group-layout order
+    (solver/groups.py).  Returns ``[n_out, 36]`` f64 rows ordered
+    (class, pair, chunk) matching ``GroupLayout.out_key``.
+    """
+    layout = plan.layout
+    dtype = W.dtype
+    WT = W[: layout.e_classes].T  # [18, e_classes]
+    HT = Hpl[: layout.e_classes].T
+    whi = WT.astype(jnp.float32)
+    wlo = (WT - whi.astype(dtype)).astype(jnp.float32)
+    hhi = HT.astype(jnp.float32)
+    hlo = (HT - hhi.astype(dtype)).astype(jnp.float32)
+
+    rows = []
+    for ci, cm in enumerate(layout.classes):
+        span = cm.d * layout.gc * cm.nc_pad
+        shape = (18, cm.d, layout.gc, cm.nc_pad)
+        cw = (
+            jax.lax.slice_in_dim(whi, cm.e_start, cm.e_start + span, axis=1)
+            .reshape(shape)
+        )
+        cwl = (
+            jax.lax.slice_in_dim(wlo, cm.e_start, cm.e_start + span, axis=1)
+            .reshape(shape)
+        )
+        ch = (
+            jax.lax.slice_in_dim(hhi, cm.e_start, cm.e_start + span, axis=1)
+            .reshape(shape)
+        )
+        chl = (
+            jax.lax.slice_in_dim(hlo, cm.e_start, cm.e_start + span, axis=1)
+            .reshape(shape)
+        )
+        oh, ol = _pairprod_call(
+            cw, cwl, ch, chl,
+            plan.class_a[ci], plan.class_b[ci],
+            cm.d, layout.gc, interpret=interpret,
+        )
+        out = oh.astype(dtype) + ol.astype(dtype)  # [npairs, 36, nc_pad]
+        rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))
+    return jnp.concatenate(rows, axis=0)

@@ -75,11 +75,65 @@ class SchurPlan(NamedTuple):
     pose_plan: object
     blk_row_plan: object = None  # Hsc blocks -> pose rows (refinement SpMV)
     blk_col_plan: object = None  # Hsc blocks -> pose cols (transpose term)
+    # co-visibility group layout (solver/groups.py); layout is a leafless
+    # static pytree, the rest are device constants for the grouped fast path
+    layout: object = None  # GroupLayoutMeta | None
+    class_a: tuple = ()  # per class: int32 [npairs] first slot of each pair
+    class_b: tuple = ()
+    outk_plan: object = None  # kernel output rows (+fix rows) -> Hsc blocks
+    fix_rows: object = None  # int32 rows needing a transposed duplicate
+    lm_extra_pos: object = None  # int32 [n_extras] landmark position per extra
 
 
 # ---------------------------------------------------------------------------
 # pure stage functions (jitted with static meta closures)
 # ---------------------------------------------------------------------------
+
+
+def _lm_slot_sum(X, plan, num_active_landmarks):
+    """Landmark-indexed reduction of per-edge rows ``X [E', K]`` under the
+    group layout: each landmark's contributions sit at a fixed stride across
+    the ``d`` slot slices of its class, so the reduction is a sum of ``d``
+    contiguous slices — no gather (solver/groups.py).  The few extras rows
+    (single-free edges) scatter-add at the end."""
+    lay = plan.layout
+    K = X.shape[1]
+    parts = []
+    covered = 0
+    for cm in lay.classes:
+        S = lay.gc * cm.nc_pad
+        seg = jax.lax.slice_in_dim(X, cm.e_start, cm.e_start + cm.d * S, axis=0)
+        parts.append(seg.reshape(cm.d, S, K).sum(axis=0))
+        covered += S
+    if covered < num_active_landmarks:
+        parts.append(jnp.zeros((num_active_landmarks - covered, K), X.dtype))
+    acc = (
+        jnp.concatenate(parts, axis=0)
+        if parts
+        else jnp.zeros((num_active_landmarks, K), X.dtype)
+    )
+    if lay.n_extras:
+        ex = jax.lax.slice_in_dim(X, lay.e_classes, lay.e_total, axis=0)
+        acc = acc + segment_sum(
+            ex, plan.lm_extra_pos, num_segments=num_active_landmarks
+        )
+    return acc
+
+
+def _lm_slot_expand(tbl, plan):
+    """Inverse of :func:`_lm_slot_sum` for table reads: per-edge rows of a
+    ``[La, K]`` landmark table under the group layout are ``d`` stacked
+    copies of each class's table slice (plus a tiny gather for extras)."""
+    lay = plan.layout
+    parts = []
+    for cm in lay.classes:
+        S = lay.gc * cm.nc_pad
+        cls = jax.lax.slice_in_dim(tbl, cm.lm_start, cm.lm_start + S, axis=0)
+        parts.append(jnp.tile(cls, (cm.d, 1)))
+    if lay.n_extras:
+        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], tbl.shape[0] - 1)
+        parts.append(tbl[idx])
+    return jnp.concatenate(parts, axis=0)
 
 
 def compute_chi(
@@ -140,7 +194,10 @@ def build_system(
     if all_ba and plan is not None:
         combined = jnp.concatenate([s for s, _ in pose_stacks], axis=0)  # [E,72]
         pose_acc = reduce_rows(combined, plan.pose_plan)[:, :42]
-        lm_acc = reduce_rows(combined, plan.lm_plan)[:, 42:54]
+        if plan.layout is not None:
+            lm_acc = _lm_slot_sum(combined[:, 42:54], plan, La)
+        else:
+            lm_acc = reduce_rows(combined, plan.lm_plan)[:, 42:54]
         Hpl = combined[:, 54:]
         Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
         return SystemBlocks(
@@ -354,15 +411,38 @@ def schur_reduce(
     # per-edge W = Hpl inv(Hll); zero rows for non-both-free edges keep the
     # out-of-range gathers harmless (Hpl is already masked at assembly).
     # ONE row gather of the combined [La,12] table instead of two — TPU
-    # gather cost is per-row, not per-byte
-    ib = jnp.concatenate([invHll, sys.bl], axis=1)[plan.ba_lm_idx]  # [E,12]
+    # gather cost is per-row, not per-byte.  Under the group layout the
+    # "gather" is d stacked slice copies per class: no gather at all.
+    tbl = jnp.concatenate([invHll, sys.bl], axis=1)  # [La,12]
+    if plan.layout is not None:
+        ib = _lm_slot_expand(tbl, plan)
+    else:
+        ib = tbl[plan.ba_lm_idx]  # [E,12]
     W = flat_mm_6x3_3x3(sys.Hpl, ib[:, :9])  # [E,18]
     bsc = sys.bp - reduce_rows(flat_mv_6x3(W, ib[:, 9:]), plan.bsc_plan)
 
-    # triple products Hsc[k] -= W[ei] Hpl[ej]^T as scatter-free bucketed
-    # batched contractions (reference: one-thread-per-triple atomics,
-    # cuda_block_solver.cu:1327-1345)
-    blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
+    # triple products Hsc[k] -= W[ei] Hpl[ej]^T.  Grouped path: dense
+    # double-float pair products per co-visibility chunk (pallas/pairprod.py)
+    # + one small reduction of the per-chunk rows; fallback: scatter-free
+    # bucketed batched contractions over all T triples (reference:
+    # one-thread-per-triple atomics, cuda_block_solver.cu:1327-1345)
+    if plan.layout is not None and plan.layout.use_kernel:
+        from ..pallas.pairprod import schur_pair_rows
+
+        rows = schur_pair_rows(W, sys.Hpl, plan)
+        if plan.fix_rows is not None and plan.fix_rows.shape[0]:
+            # pairs hitting a diagonal block via duplicate poses need the
+            # transposed product added too (densify never mirrors the
+            # diagonal; see symbolic.py:117-128)
+            t36 = jnp.asarray(
+                np.arange(36).reshape(6, 6).T.reshape(-1), jnp.int32
+            )
+            rows = jnp.concatenate(
+                [rows, rows[plan.fix_rows][:, t36]], axis=0
+            )
+        blocks = -reduce_rows(rows, plan.outk_plan)
+    else:
+        blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
     return blocks, bsc, invHll
 
@@ -381,7 +461,11 @@ def schur_back_substitute(
 
     Pa = num_active_poses
     xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
-    cl = sys.bl - reduce_rows(flat_mtv_6x3(sys.Hpl, xp_e), plan.lm_plan)
+    contrib = flat_mtv_6x3(sys.Hpl, xp_e)
+    if plan.layout is not None:
+        cl = sys.bl - _lm_slot_sum(contrib, plan, sys.bl.shape[0])
+    else:
+        cl = sys.bl - reduce_rows(contrib, plan.lm_plan)
     return flat_mv_3x3(invHll, cl)
 
 
@@ -473,7 +557,9 @@ class BlockSolver:
         self.packed: tuple[PackedEdges, ...] = ()
         self.metas: tuple[EdgeSetMeta, ...] = ()
         self.Pa = 0  # active pose count
-        self.La = 0  # active landmark count
+        self.La = 0  # active landmark count (incl. layout padding slots)
+        self.La_real = 0  # active landmarks before layout padding
+        self.group_layout = None  # GroupLayout | None (fast array path)
         self.P = 0
         self.L = 0
         self.do_schur = False
@@ -514,6 +600,8 @@ class BlockSolver:
         else:
             Xw = np.zeros((0, 3), dtype=np.float64)
             self.L = self.La = 0
+        self.La_real = self.La
+        self.group_layout = None
 
         self.do_schur = self.La > 0
         dt = self.dtype
@@ -557,7 +645,41 @@ class BlockSolver:
         self.Pa = int(num_active_poses)
         self.L = landmarks.shape[0]
         self.La = int(num_active_landmarks)
+        self.La_real = self.La
+        self.group_layout = None
         self.do_schur = self.La > 0
+        landmarks = np.asarray(landmarks, dtype=np.float64).reshape(-1, 3)
+
+        # co-visibility group layout (solver/groups.py): reorders edges
+        # slot-major and renumbers free landmarks so every landmark-indexed
+        # reduction becomes contiguous slices and the Schur product runs as
+        # grouped dense pair products.  Single BA edge set only (the layout
+        # interleaves a landmark's observations; multiple sets would need one
+        # globally-ordered array, which per-set packing cannot produce).
+        use_layout = (
+            len(edge_specs) == 1
+            and self.La > 0
+            and MODEL_REGISTRY[edge_specs[0]["kind"]].HAS_LANDMARK
+        )
+        if use_layout:
+            from .groups import build_group_layout
+
+            spec = edge_specs[0]
+            pose_idx0 = np.asarray(spec["pose_idx"], dtype=np.int64)
+            lm_idx0 = np.asarray(spec.get("lm_idx"), dtype=np.int64)
+            lay = build_group_layout(pose_idx0, lm_idx0, self.Pa, self.La)
+            self.group_layout = lay
+            la_pad = lay.meta.la_pad
+
+            # landmark state in layout order; dummy slots are inert zero rows
+            Xw_new = np.zeros((la_pad + (self.L - self.La), 3), dtype=np.float64)
+            real = lay.lm_order >= 0
+            Xw_new[: la_pad][real] = landmarks[lay.lm_order[real]]
+            Xw_new[la_pad:] = landmarks[self.La :]
+            landmarks = Xw_new
+            self.L = Xw_new.shape[0]
+            self.La = la_pad
+
         self.graph = GraphArrays(
             q=jnp.asarray(pose_q, dt),
             t=jnp.asarray(pose_t, dt),
@@ -576,6 +698,47 @@ class BlockSolver:
             cam = np.asarray(spec.get("cam", np.zeros(5)), dtype=np.float64)
             if cam.ndim == 1:
                 cam = np.broadcast_to(cam, (E, 5)).copy()
+            active = np.ones(E, dtype=np.float64)
+
+            if self.group_layout is not None:
+                lay = self.group_layout
+                perm = lay.edge_perm
+                dummy = perm < 0
+                src = np.where(dummy, 0, perm)
+
+                def _take(a, fill=0.0):
+                    out = a[src].copy()
+                    out[dummy] = fill
+                    return out
+
+                meas = _take(meas)
+                omega = _take(omega)
+                cam = _take(cam)
+                active = _take(active)
+                # dummy rows: pose sentinel Pa (out of the active range; the
+                # one-hot expansion maps out-of-window to zero), landmark id =
+                # the slot's own position so landmark windows stay tight
+                pose_idx = _take(pose_idx).astype(np.int32)
+                pose_idx[dummy] = self.Pa
+                new_lm = np.where(
+                    lm_idx < self.La_real,
+                    lay.lm_renumber[np.minimum(lm_idx, self.La_real - 1)],
+                    lm_idx.astype(np.int64) - self.La_real + self.La,
+                )
+                lm_idx = new_lm[src].astype(np.int32)
+                # dummy landmark index = the dummy slot's own position
+                pos_in_class = np.full(perm.size, 0, dtype=np.int32)
+                for cm in lay.meta.classes:
+                    S = lay.meta.gc * cm.nc_pad
+                    span = cm.d * S
+                    sl = slice(cm.e_start, cm.e_start + span)
+                    pos_in_class[sl] = (
+                        cm.lm_start
+                        + (np.arange(span, dtype=np.int64) % S)
+                    ).astype(np.int32)
+                lm_idx[dummy] = pos_in_class[dummy]
+                E = perm.size
+
             data = PackedEdges(
                 meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
                 omega=jnp.asarray(omega, dt),
@@ -584,7 +747,7 @@ class BlockSolver:
                 lm_idx=jnp.asarray(lm_idx),
                 free_p=jnp.asarray((pose_idx < self.Pa).astype(np.float64), dt),
                 free_l=jnp.asarray((lm_idx < self.La).astype(np.float64), dt),
-                active=jnp.ones(E, dt),
+                active=jnp.asarray(active, dt),
             )
             meta = EdgeSetMeta(
                 kind=kind,
@@ -592,7 +755,7 @@ class BlockSolver:
                 delta=float(spec.get("delta", 1.0)),
                 has_landmark=model.HAS_LANDMARK,
                 mdim=model.MDIM,
-                nedges=E,
+                nedges=int(np.sum(active > 0)),
             )
             packed.append(data)
             metas.append(meta)
@@ -738,10 +901,41 @@ class BlockSolver:
         self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
         self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
         s = self.schur
-        tri_plan = build_bucket_plan(
-            s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
-            sentinel=Eba, sorted_ids=s.tri_sorted,
-        )
+
+        lay = self.group_layout
+        use_kernel = lay is not None and jax.default_backend() != "cpu"
+        layout_fields = {}
+        if lay is not None:
+            meta = lay.meta._replace(use_kernel=use_kernel)
+            pattern_keys = (
+                s.blk_row.astype(np.int64) * self.Pa + s.blk_col
+            )  # sorted ascending by construction (symbolic.py:130-149)
+            ids = np.full(lay.meta.n_out + lay.fix_rows.size, s.nnz_blocks,
+                          dtype=np.int64)
+            real = lay.out_key >= 0
+            ids[: lay.meta.n_out][real] = np.searchsorted(
+                pattern_keys, lay.out_key[real]
+            )
+            if lay.fix_rows.size:
+                ids[lay.meta.n_out :] = np.searchsorted(
+                    pattern_keys, lay.out_key[lay.fix_rows]
+                )
+            extra_lm = ba_lm_idx[lay.meta.e_classes :].astype(np.int64)
+            layout_fields = dict(
+                layout=meta,
+                class_a=tuple(jnp.asarray(a) for a in lay.a_lut),
+                class_b=tuple(jnp.asarray(b) for b in lay.b_lut),
+                outk_plan=build_bucket_plan(ids, s.nnz_blocks),
+                fix_rows=jnp.asarray(lay.fix_rows.astype(np.int32)),
+                lm_extra_pos=jnp.asarray(extra_lm.astype(np.int32)),
+            )
+
+        tri_plan = None
+        if not use_kernel:
+            tri_plan = build_bucket_plan(
+                s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
+                sentinel=Eba, sorted_ids=s.tri_sorted,
+            )
         self.plan = SchurPlan(
             ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
             ba_lm_idx=jnp.asarray(ba_lm_idx, jnp.int32),
@@ -750,10 +944,13 @@ class BlockSolver:
             diag_pos=jnp.asarray(s.diag_pos),
             tri_plan=tri_plan,
             bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
-            lm_plan=build_bucket_plan(ba_lm_idx, self.La),
+            lm_plan=None if lay is not None else build_bucket_plan(
+                ba_lm_idx, self.La
+            ),
             pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
             blk_row_plan=build_bucket_plan(s.blk_row, self.Pa, sorted_ids=True),
             blk_col_plan=build_bucket_plan(s.blk_col, self.Pa),
+            **layout_fields,
         )
         self._compile()
 
@@ -766,11 +963,19 @@ class BlockSolver:
             return
         from ..pallas.onehot import build_expand_plan
 
+        # under the group layout, cover only the class region (slot strides
+        # are multiples of 1024, so chunk=1024 windows never straddle a slot
+        # boundary); the few extras rows at the tail are gathered by XLA in
+        # models._edge_inputs (their landmark ids are scattered and would
+        # blow the window bound)
+        cov = None
+        if self.group_layout is not None:
+            cov = self.group_layout.meta.e_classes
         new_packed = []
         for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):
             if meta.has_landmark and data.pose_xp is None:
-                pxp = build_expand_plan(pi, self.P)
-                lxp = build_expand_plan(li, self.L)
+                pxp = build_expand_plan(pi[:cov], self.P, chunk=1024)
+                lxp = build_expand_plan(li[:cov], self.L, chunk=1024)
                 if pxp is not None and lxp is not None:
                     data = data._replace(pose_xp=pxp, lm_xp=lxp)
             new_packed.append(data)
@@ -905,6 +1110,22 @@ class BlockSolver:
 
     def nedges(self) -> int:
         return sum(m.nedges for m in self.metas)
+
+    # -- results (fast array path) ---------------------------------------------
+
+    def result_landmarks(self) -> np.ndarray:
+        """Landmark estimates in the caller's original order (the group
+        layout renumbers free landmarks internally; solver/groups.py)."""
+        Xw = np.asarray(self.graph.Xw, dtype=np.float64)
+        if self.group_layout is None:
+            return Xw
+        lay = self.group_layout
+        n_fixed = self.L - self.La
+        out = np.empty((self.La_real + n_fixed, 3), dtype=np.float64)
+        real = lay.lm_order >= 0
+        out[lay.lm_order[real]] = Xw[: self.La][real]
+        out[self.La_real :] = Xw[self.La :]
+        return out
 
 
 # ---------------------------------------------------------------------------

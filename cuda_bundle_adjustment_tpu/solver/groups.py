@@ -1,0 +1,252 @@
+"""Co-visibility group layout for the Schur product (host symbolic stage).
+
+The Schur triple product ``Hsc[s,t] -= sum_l W[e_{l,s}] Hpl[e_{l,t}]^T``
+(reference: cuda_block_solver.cu:1327-1345) is the hottest stage.  The
+generic plan (``symbolic.py`` triples + bucketed reductions) pays TPU's
+per-row gather cost on ~2 gathers x T ~ 1.7M rows.  This module removes the
+gathers entirely by choosing the *edge storage order* at build time:
+
+* landmarks are classed by their number of both-free observations ``d``
+  (degree), grouped by their exact observing pose tuple (real SLAM maps have
+  strong co-visibility: consecutively-created landmarks see the same poses),
+  and groups are cut into chunks of ``Gc`` members;
+* edges are stored class-major, then **slot-major** (a landmark's a-th
+  observation), then chunk-member, then chunk: the per-(class, slot) column
+  ``X_a`` of any per-edge array is one contiguous slice, and every
+  landmark-indexed reduction becomes a sum of ``d`` contiguous slices —
+  no gather, no scatter, bit-deterministic;
+* free landmarks are renumbered to their layout position so landmark state
+  reads are contiguous too (dummy padding slots stay inert: their edges have
+  ``active = omega = 0`` and their lambda-damped Hll inverts to ``I/lam``);
+* for each (class, pair-of-slots, chunk) the pair product summed over the
+  chunk members is ONE output row -> the runtime pair-product kernel
+  (pallas/pairprod.py) reduces ``T`` triple rows to ``R ~ T/6`` output rows
+  with dense, double-float in-VMEM arithmetic.
+
+The Hsc block pattern and the legacy triple plan (CPU fallback) still come
+from :mod:`.symbolic` applied to the permuted indices, so both runtime paths
+share one pattern numbering.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class ClassMeta(NamedTuple):
+    """Static (hashable) per-degree-class constants."""
+
+    d: int  # both-free observations per landmark
+    nc_pad: int  # chunk count padded to the kernel tile
+    e_start: int  # first edge row of this class's region
+    lm_start: int  # first landmark position of this class
+    npairs: int  # d * (d + 1) // 2
+    out_start: int  # first flat output row (p * nc_pad + c ordering)
+
+
+class GroupLayoutMeta(NamedTuple):
+    """Static (hashable) layout summary, passed through jit as a static arg."""
+
+    classes: tuple[ClassMeta, ...]
+    gc: int  # chunk width (group members reduced per output row)
+    e_classes: int  # total class-region edge rows (dummies included)
+    e_total: int  # class rows + extras rows
+    la_pad: int  # landmark positions incl. dummies and the d=0 region
+    n_extras: int  # edges outside the class regions (single-free edges)
+    n_out: int  # total flat kernel output rows
+    use_kernel: bool = False  # run the Pallas pair-product kernel (TPU)
+
+
+# GroupLayoutMeta rides inside the (traced) SchurPlan pytree, but every field
+# is compile-time constant: register it as a LEAFLESS pytree whose content is
+# aux data, so jit keys the compiled program on it without tracing the ints
+# (same trick as pallas/onehot.py's ExpandPlan).
+import jax.tree_util as _jtu
+
+_jtu.register_pytree_node(
+    GroupLayoutMeta,
+    lambda m: ((), m),
+    lambda aux, _: aux,
+)
+
+
+class GroupLayout(NamedTuple):
+    meta: GroupLayoutMeta
+    edge_perm: np.ndarray  # [e_total] original edge row, or -1 (dummy slot)
+    lm_order: np.ndarray  # [la_pad] original free-landmark id, or -1 (dummy)
+    lm_renumber: np.ndarray  # [La] old free-landmark id -> new position
+    a_lut: tuple  # per class: int32 [npairs] first slot of each pair
+    b_lut: tuple  # per class: int32 [npairs] second slot (a <= b)
+    out_key: np.ndarray  # [n_out] int64 s_a * Pa + s_b, or -1 (dummy chunk)
+    fix_rows: np.ndarray  # flat output rows needing a transposed duplicate
+    # (pairs a != b whose chunk pose tuple has s_a == s_b: they hit a
+    # diagonal block, which densify never mirrors — symbolic.py:117-128)
+
+
+def build_group_layout(
+    pose_idx: np.ndarray,
+    lm_idx: np.ndarray,
+    num_active_poses: int,
+    num_active_landmarks: int,
+    gc: int = 8,
+    tile_n: int = 128,
+) -> GroupLayout:
+    pose_idx = np.asarray(pose_idx, dtype=np.int64)
+    lm_idx = np.asarray(lm_idx, dtype=np.int64)
+    Pa, La = int(num_active_poses), int(num_active_landmarks)
+    E = pose_idx.size
+
+    both_free = (pose_idx < Pa) & (lm_idx < La)
+    free_rows = np.nonzero(both_free)[0]
+    extra_rows = np.nonzero(~both_free)[0]
+
+    # per-landmark runs with poses ascending (order inside a run = slot order)
+    order = np.lexsort((free_rows, pose_idx[free_rows], lm_idx[free_rows]))
+    fr = free_rows[order]
+    fl = lm_idx[free_rows][order]
+    fp = pose_idx[free_rows][order]
+
+    deg = np.bincount(fl, minlength=La)  # both-free degree per free landmark
+    run_start = np.concatenate([[0], np.cumsum(deg)])  # indexed by landmark? no:
+    # deg is per landmark id; fl is sorted by landmark so the run of landmark
+    # l starts at sum(deg[:l])
+    dmax = int(deg.max()) if La else 0
+
+    classes = []
+    a_luts, b_luts = [], []
+    lm_order_parts = []
+    lm_renumber = np.full(La, -1, dtype=np.int64)
+    perm_parts = []
+    out_key_parts = []
+    fix_parts = []
+
+    e_cursor = 0
+    lm_cursor = 0
+    out_cursor = 0
+    for d in range(1, dmax + 1):
+        lms = np.nonzero(deg == d)[0]
+        if lms.size == 0:
+            continue
+        # pose tuple per landmark: [Ld, d] (ascending within each landmark)
+        starts = run_start[lms]
+        tup = fp[starts[:, None] + np.arange(d)[None, :]]  # [Ld, d]
+        eid = fr[starts[:, None] + np.arange(d)[None, :]]  # [Ld, d] edge rows
+        # group landmarks by pose tuple
+        g_order = np.lexsort(tup.T[::-1])
+        tup_s = tup[g_order]
+        eid_s = eid[g_order]
+        lms_s = lms[g_order]
+        Ld = lms.size
+        new_group = np.ones(Ld, dtype=bool)
+        if Ld > 1:
+            new_group[1:] = np.any(tup_s[1:] != tup_s[:-1], axis=1)
+        gid = np.cumsum(new_group) - 1
+        # member index within group, then chunk id / member-within-chunk
+        g_start_pos = np.nonzero(new_group)[0]
+        member = np.arange(Ld) - g_start_pos[gid]
+        chunk_of_group = member // gc  # chunk index *within* the group
+        m = member % gc
+        # global chunk ids: groups contribute ceil(G/gc) chunks each, in order
+        chunks_per_group = np.bincount(gid) // 1
+        chunks_per_group = -(-np.bincount(gid) // gc)
+        chunk_base = np.concatenate([[0], np.cumsum(chunks_per_group)])
+        c = chunk_base[gid] + chunk_of_group
+        nc = int(chunk_base[-1])
+        nc_pad = -(-nc // tile_n) * tile_n
+
+        npairs = d * (d + 1) // 2
+        aa, bb = np.triu_indices(d)
+        a_luts.append(aa.astype(np.int32))
+        b_luts.append(bb.astype(np.int32))
+
+        # landmark positions: lm_start + m * nc_pad + c
+        pos = lm_cursor + m * nc_pad + c
+        lm_renumber[lms_s] = pos
+        lo = np.full(gc * nc_pad, -1, dtype=np.int64)
+        lo[pos - lm_cursor] = lms_s
+        lm_order_parts.append(lo)
+
+        # edge rows: e_start + a * (gc * nc_pad) + m * nc_pad + c
+        ep = np.full(d * gc * nc_pad, -1, dtype=np.int64)
+        slot_stride = gc * nc_pad
+        for a in range(d):
+            ep[a * slot_stride + (m * nc_pad + c)] = eid_s[:, a]
+        perm_parts.append(ep)
+
+        # output keys per (pair, chunk): the chunk's pose tuple decides the
+        # target block; dummy chunks (beyond nc) keep key -1
+        first_of_chunk = np.zeros(nc, dtype=np.int64)
+        first_of_chunk[c] = np.arange(Ld)  # any member works: same tuple
+        keys = np.full((npairs, nc_pad), -1, dtype=np.int64)
+        ct = tup_s[first_of_chunk]  # [nc, d]
+        keys[:, :nc] = (ct[:, aa] * Pa + ct[:, bb]).T
+        out_key_parts.append(keys.reshape(-1))
+
+        # duplicate-pose fix rows: a != b but s_a == s_b (diagonal block)
+        dup = (aa != bb)[:, None] & (ct[:, aa] == ct[:, bb]).T[:, :nc]
+        if np.any(dup):
+            pr, cr = np.nonzero(dup)
+            fix_parts.append(out_cursor + pr * nc_pad + cr)
+
+        classes.append(
+            ClassMeta(
+                d=d,
+                nc_pad=nc_pad,
+                e_start=e_cursor,
+                lm_start=lm_cursor,
+                npairs=npairs,
+                out_start=out_cursor,
+            )
+        )
+        e_cursor += d * gc * nc_pad
+        lm_cursor += gc * nc_pad
+        out_cursor += npairs * nc_pad
+
+    # d = 0 region: free landmarks with no both-free observations
+    d0 = np.nonzero(deg == 0)[0]
+    if d0.size:
+        lm_renumber[d0] = lm_cursor + np.arange(d0.size)
+        lm_order_parts.append(d0)
+        lm_cursor += d0.size
+
+    e_classes = e_cursor
+    edge_perm = np.concatenate(
+        perm_parts + [extra_rows]
+        if perm_parts or extra_rows.size
+        else [np.zeros(0, dtype=np.int64)]
+    )
+    lm_order = (
+        np.concatenate(lm_order_parts)
+        if lm_order_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    out_key = (
+        np.concatenate(out_key_parts)
+        if out_key_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    fix_rows = (
+        np.concatenate(fix_parts) if fix_parts else np.zeros(0, dtype=np.int64)
+    )
+
+    meta = GroupLayoutMeta(
+        classes=tuple(classes),
+        gc=gc,
+        e_classes=e_classes,
+        e_total=int(edge_perm.size),
+        la_pad=int(lm_cursor),
+        n_extras=int(extra_rows.size),
+        n_out=int(out_cursor),
+    )
+    return GroupLayout(
+        meta=meta,
+        edge_perm=edge_perm,
+        lm_order=lm_order,
+        lm_renumber=lm_renumber,
+        a_lut=tuple(a_luts),
+        b_lut=tuple(b_luts),
+        out_key=out_key,
+        fix_rows=fix_rows,
+    )

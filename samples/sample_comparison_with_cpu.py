@@ -75,7 +75,7 @@ def main(argv: list[str]) -> int:
     g = opt.solver.graph
     q_tpu = np.asarray(g.q, dtype=np.float64)
     t_tpu_a = np.asarray(g.t, dtype=np.float64)
-    X_tpu = np.asarray(g.Xw, dtype=np.float64)
+    X_tpu = opt.solver.result_landmarks()
 
     rmse_r = np.sqrt(np.mean((quat_canon(q_cpu) - quat_canon(q_tpu)) ** 2))
     rmse_t = np.sqrt(np.mean((t_cpu_a - t_tpu_a) ** 2))

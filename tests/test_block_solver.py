@@ -48,22 +48,37 @@ def test_system_blocks_match_dense(small_problem):
         np.testing.assert_allclose(Hpp[p], H[sp, sp], rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(bp[p], b[sp], rtol=1e-9, atol=1e-9)
 
+    # the group layout (solver/groups.py) renumbers free landmarks and
+    # reorders edge rows; map original ids through it (identity without it)
+    lay = solver.group_layout
+    La_real = solver.La_real
+    lm_row = (
+        lay.lm_renumber if lay is not None else np.arange(La_real)
+    )
+    edge_src = (
+        lay.edge_perm
+        if lay is not None
+        else np.arange(len(small_problem.pose_idx))
+    )
+
     Hll = np.asarray(sys.Hll).reshape(La, 3, 3)
     bl = np.asarray(sys.bl)
-    for l in range(La):
+    for l in range(La_real):
         sl = slice(6 * Pa + 3 * l, 6 * Pa + 3 * l + 3)
-        np.testing.assert_allclose(Hll[l], H[sl, sl], rtol=1e-9, atol=1e-9)
-        np.testing.assert_allclose(bl[l], b[sl], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(Hll[lm_row[l]], H[sl, sl], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(bl[lm_row[l]], b[sl], rtol=1e-9, atol=1e-9)
 
     # Hpl blocks: every both-free edge block must match the dense cross block;
     # accumulate per (pose, lm) because multiple edges can share a pair
     Hpl = np.asarray(sys.Hpl).reshape(-1, 6, 3)
     acc = {}
-    for e in range(len(small_problem.pose_idx)):
+    for row, e in enumerate(edge_src):
+        if e < 0:
+            continue
         iP, iL = int(small_problem.pose_idx[e]), int(small_problem.lm_idx[e])
-        if iP < Pa and iL < La:
+        if iP < Pa and iL < La_real:
             acc.setdefault((iP, iL), np.zeros((6, 3)))
-            acc[(iP, iL)] += Hpl[e]
+            acc[(iP, iL)] += Hpl[row]
     for (iP, iL), blk in acc.items():
         sp = slice(6 * iP, 6 * iP + 6)
         sl = slice(6 * Pa + 3 * iL, 6 * Pa + 3 * iL + 3)
@@ -98,11 +113,15 @@ def test_schur_solve_matches_dense_full_solve(small_problem):
     np.testing.assert_allclose(float(Fhat), Fhat_ref, rtol=1e-9)
     np.testing.assert_allclose(float(scale), scale_ref, rtol=1e-9)
 
-    # state parity
-    Pa, La = solver.Pa, solver.La
+    # state parity (landmarks mapped through the group-layout renumbering)
+    Pa, La = solver.Pa, solver.La_real
+    lay = solver.group_layout
+    lm_row = lay.lm_renumber if lay is not None else np.arange(La)
     np.testing.assert_allclose(np.asarray(new_graph.q)[:Pa], ref.q[:Pa], atol=1e-10)
     np.testing.assert_allclose(np.asarray(new_graph.t)[:Pa], ref.t[:Pa], atol=1e-9)
-    np.testing.assert_allclose(np.asarray(new_graph.Xw)[:La], ref.Xw[:La], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_graph.Xw)[lm_row], ref.Xw[:La], atol=1e-9
+    )
     # fixed poses untouched
     np.testing.assert_array_equal(
         np.asarray(new_graph.q)[Pa:], np.asarray(solver.graph.q)[Pa:]

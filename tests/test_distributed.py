@@ -57,8 +57,10 @@ def test_sharded_step_matches_single_chip(mesh):
     L = problem.landmarks.shape[0]
     lm_shard = np.arange(L) % D
     lm_local = np.arange(L) // D
+    # single-chip landmarks come back in group-layout order; un-permute
+    solver.accept(new_graph)
     np.testing.assert_allclose(
-        Xw_got[lm_shard, lm_local], np.asarray(new_graph.Xw)[:L], atol=1e-9
+        Xw_got[lm_shard, lm_local], solver.result_landmarks()[:L], atol=1e-9
     )
 
 

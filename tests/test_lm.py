@@ -24,10 +24,10 @@ def test_chi_trace_matches_dense_oracle(kind):
     assert len(got) == len(want)
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # final states agree
-    Pa, La = opt.solver.Pa, opt.solver.La
+    Pa, La = opt.solver.Pa, opt.solver.La_real
     np.testing.assert_allclose(np.asarray(opt.solver.graph.q)[:Pa], ref.q[:Pa], atol=1e-7)
     np.testing.assert_allclose(np.asarray(opt.solver.graph.t)[:Pa], ref.t[:Pa], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(opt.solver.graph.Xw)[:La], ref.Xw[:La], atol=1e-6)
+    np.testing.assert_allclose(opt.solver.result_landmarks()[:La], ref.Xw[:La], atol=1e-6)
 
 
 def test_chi_decreases_monotonically():
