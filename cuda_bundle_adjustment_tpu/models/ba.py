@@ -24,6 +24,7 @@ Functional parity with the reference kernels:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..graph import BaseEdge, EdgeSet
@@ -41,20 +42,39 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
     if data.pose_xp is not None:
         from ..pallas.onehot import expand
 
-        qt = expand(jnp.concatenate([graph.q, graph.t], axis=1), data.pose_xp)
-        Xw3 = expand(graph.Xw, data.lm_xp)
         E = data.pose_idx.shape[0]
+        qt = expand(jnp.concatenate([graph.q, graph.t], axis=1), data.pose_xp)
+        if data.lm_slot is not None:
+            # group layout: landmark state per edge = d stacked slice copies
+            # of each class's state block (slot-major order, solver/groups.py)
+            # — no gather, no one-hot kernel
+            XwT = graph.Xw.T  # [3, L]
+            parts = []
+            for cm in data.lm_slot.classes:
+                S = data.lm_slot.gc * cm.nc_pad
+                cls = jax.lax.slice_in_dim(
+                    XwT, cm.lm_start, cm.lm_start + S, axis=1
+                )
+                parts.append(jnp.tile(cls, (1, cm.d)))
+            if data.lm_slot.n_extras:
+                li_t = data.lm_idx[data.lm_slot.e_classes :]
+                parts.append(XwT[:, li_t])
+            Xw3 = jnp.concatenate(parts, axis=1)
+        else:
+            Xw3 = expand(graph.Xw, data.lm_xp)
         if qt.shape[1] < E:
             # expansion plans may cover only a prefix (group layout keeps
             # the scattered extras tail out of the windowed kernel); gather
             # the tail rows with XLA — it is tiny
             pi_t = data.pose_idx[qt.shape[1] :]
-            li_t = data.lm_idx[qt.shape[1] :]
             qtbl = jnp.concatenate([graph.q, graph.t], axis=1).T
             qt = jnp.concatenate(
                 [qt, qtbl[:, jnp.minimum(pi_t, qtbl.shape[1] - 1)]], axis=1
             )
-            Xw3 = jnp.concatenate([Xw3, graph.Xw.T[:, li_t]], axis=1)
+        if Xw3.shape[1] < E:
+            Xw3 = jnp.concatenate(
+                [Xw3, graph.Xw.T[:, data.lm_idx[Xw3.shape[1] :]]], axis=1
+            )
         q = tuple(qt[i] for i in range(4))
         t = tuple(qt[4 + i] for i in range(3))
         Xw = tuple(Xw3[i] for i in range(3))

@@ -238,12 +238,16 @@ def expand(
     nsplit = 3 if table.dtype == jnp.float64 else 1
     for _ in range(nsplit):
         p = rem.astype(jnp.float32)
-        parts.append(jnp.pad(p, ((0, 0), (0, W))))
+        parts.append(p)
         rem = rem - p.astype(table.dtype)
+    # stack the splits as extra ROWS of one table: one DMA + one MXU dot per
+    # tile instead of three, and 3x the MXU row utilisation (K is small) —
+    # each split's rows stay independent, so the selection remains exact
+    stacked = jnp.pad(jnp.concatenate(parts, axis=0), ((0, 0), (0, W)))
     outs = _expand_call(
-        tuple(parts), plan.starts, plan.idx, W, plan.chunk, interpret
+        (stacked,), plan.starts, plan.idx, W, plan.chunk, interpret
     )
-    out = outs[0].astype(table.dtype)
-    for o in outs[1:]:
-        out = out + o.astype(table.dtype)
-    return out[:K, : plan.num_rows]
+    out = outs[0][:K].astype(table.dtype)
+    for p in range(1, nsplit):
+        out = out + outs[0][p * K8 : p * K8 + K].astype(table.dtype)
+    return out[:, : plan.num_rows]

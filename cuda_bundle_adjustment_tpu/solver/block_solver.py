@@ -49,6 +49,18 @@ class EdgeSetMeta(NamedTuple):
     nedges: int
 
 
+class BandMeta(NamedTuple):
+    """Static band-solver constants (leafless pytree: jit keys on it)."""
+
+    bw: int  # block bandwidth (max |col - row| over the Hsc pattern)
+    sb: int  # band height padded to a sublane multiple
+
+
+jax.tree_util.register_pytree_node(
+    BandMeta, lambda m: ((), m), lambda aux, _: aux
+)
+
+
 class SchurPlan(NamedTuple):
     """Device-side plan for the jitted pipeline stages (constant per
     structure, passed as jit arguments so XLA does not inline them).
@@ -83,6 +95,7 @@ class SchurPlan(NamedTuple):
     outk_plan: object = None  # kernel output rows (+fix rows) -> Hsc blocks
     fix_rows: object = None  # int32 rows needing a transposed duplicate
     lm_extra_pos: object = None  # int32 [n_extras] landmark position per extra
+    band: object = None  # BandMeta | None: banded Hsc -> Pallas band solver
 
 
 # ---------------------------------------------------------------------------
@@ -303,15 +316,19 @@ def _solve_reduced_blocks(
     mixed: bool,
     row_plan=None,
     col_plan=None,
+    band: Optional[BandMeta] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve ``Hsc xp = bsc`` given Hsc as flat upper-tri 6x6 blocks, without
     ever materialising a dense f64 matrix (one f64 dense copy of KITTI-00's
     7932x7932 Hsc is 0.5 GB; the old path held three plus an f32 factor).
 
-    Jacobi pre-scaling happens in block form; the dense operand is built
-    directly in the scalar ``[Pa*6, Pa*6]`` layout (f32 for the mixed MXU
-    path) and the f64 iterative-refinement matvecs run on the scaled flat
-    blocks via segment_sum — a block SpMV, never a dense f64 product."""
+    Jacobi pre-scaling happens in block form.  With ``band`` (trajectory
+    graphs: Hsc block bandwidth ~11), the f32 factor+solves run in the
+    Pallas band kernels (pallas/bandchol.py) straight off the block rows —
+    no dense matrix at all; otherwise the dense operand is built in the
+    scalar ``[Pa*6, Pa*6]`` layout for an MXU Cholesky.  The f64
+    iterative-refinement matvecs run on the scaled flat blocks either way —
+    a block SpMV, never a dense f64 product."""
     from jax.scipy.linalg import solve_triangular
 
     from ..ops.components import flat_mtv_6x6, flat_mv_6x6
@@ -328,22 +345,46 @@ def _solve_reduced_blocks(
     bv = bsc * s  # [Pa,6] scaled rhs
 
     target = jnp.float32 if (mixed and dtype == jnp.float64) else dtype
-    vals = bl_s.reshape(nnz, 6, 6).astype(target)
-    dense = jnp.zeros((Pa, 6, Pa, 6), target)
-    dense = dense.at[brow, :, bcol, :].add(vals)
     off = brow != bcol
-    mirror = jnp.where(
-        off[:, None, None], jnp.swapaxes(vals, -1, -2), jnp.zeros_like(vals)
-    )
-    dense = dense.at[bcol, :, brow, :].add(mirror)
-    A = dense.reshape(Pa * 6, Pa * 6)
+    if band is not None and target == jnp.float32:
+        from ..pallas.bandchol import band_factor, band_solve
 
-    L = jnp.linalg.cholesky(A)
+        SB = band.sb
+        band_arr = jnp.zeros(((Pa + SB) * SB, 36), jnp.float32)
+        band_arr = band_arr.at[brow * SB + (bcol - brow)].set(
+            bl_s.astype(jnp.float32)
+        )
+        Lb = band_factor(band_arr, Pa, SB, band.bw)
 
-    def tri_solve(r):
-        y = solve_triangular(L, r.reshape(-1).astype(target), lower=True)
-        x = solve_triangular(L.T, y, lower=False)
-        return x.astype(dtype).reshape(Pa, 6)
+        def tri_solve(r):
+            x32 = band_solve(
+                Lb, r.astype(jnp.float32), Pa, SB, band.bw
+            )
+            return x32.astype(dtype)
+
+    else:
+        # block-flat scatter first (13.5k-row scatters are ~4 ms), then one
+        # reshape-transpose to scalar layout — the 4D scatter into
+        # [Pa,6,Pa,6] lowers ~10x slower than this on v5e
+        vals = bl_s.astype(target)
+        mirror = jnp.where(
+            off[:, None],
+            vals.reshape(nnz, 6, 6).swapaxes(-1, -2).reshape(nnz, 36),
+            jnp.zeros_like(vals),
+        )
+        flat = jnp.zeros((Pa * Pa, 36), target)
+        flat = flat.at[brow * Pa + bcol].add(vals)
+        flat = flat.at[bcol * Pa + brow].add(mirror)
+        A = flat.reshape(Pa, Pa, 6, 6).transpose(0, 2, 1, 3).reshape(
+            Pa * 6, Pa * 6
+        )
+
+        L = jnp.linalg.cholesky(A)
+
+        def tri_solve(r):
+            y = solve_triangular(L, r.reshape(-1).astype(target), lower=True)
+            x = solve_triangular(L.T, y, lower=False)
+            return x.astype(dtype).reshape(Pa, 6)
 
     x = tri_solve(bv)
     if target == dtype:
@@ -484,7 +525,7 @@ def solve_schur(
     blocks, bsc, invHll = schur_reduce(sys, lam, plan, Pa, La, nnz_blocks)
     xp, success = _solve_reduced_blocks(
         blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
-        plan.blk_row_plan, plan.blk_col_plan,
+        plan.blk_row_plan, plan.blk_col_plan, plan.band,
     )
     xl = schur_back_substitute(sys, invHll, xp, plan, Pa)
     return xp, xl, success
@@ -697,8 +738,16 @@ class BlockSolver:
             omega = np.asarray(spec["omega"], dtype=np.float64)
             cam = np.asarray(spec.get("cam", np.zeros(5)), dtype=np.float64)
             if cam.ndim == 1:
-                cam = np.broadcast_to(cam, (E, 5)).copy()
+                cam = cam.reshape(1, 5)
             active = np.ones(E, dtype=np.float64)
+            # uniform omega / camera collapse to broadcastable single rows —
+            # the device arrays stay [1] / [5,1] and never pay the ~44 MB
+            # upload (the reference's global-vs-per-edge trade,
+            # graph_optimisation_options.h:8-19, decided automatically here)
+            if omega.size and np.all(omega == omega[0]):
+                omega = omega[:1]
+            if cam.shape[0] > 1 and np.all(cam == cam[0]):
+                cam = cam[:1]
 
             if self.group_layout is not None:
                 lay = self.group_layout
@@ -712,8 +761,10 @@ class BlockSolver:
                     return out
 
                 meas = _take(meas)
-                omega = _take(omega)
-                cam = _take(cam)
+                if omega.size > 1:
+                    omega = _take(omega)
+                if cam.shape[0] > 1:
+                    cam = _take(cam)
                 active = _take(active)
                 # dummy rows: pose sentinel Pa (out of the active range; the
                 # one-hot expansion maps out-of-window to zero), landmark id =
@@ -755,7 +806,7 @@ class BlockSolver:
                 delta=float(spec.get("delta", 1.0)),
                 has_landmark=model.HAS_LANDMARK,
                 mdim=model.MDIM,
-                nedges=int(np.sum(active > 0)),
+                nedges=int(np.sum(active > 0)) if active.size > 1 else E,
             )
             packed.append(data)
             metas.append(meta)
@@ -897,13 +948,37 @@ class BlockSolver:
 
         import time as _time
 
-        t0 = _time.perf_counter()
-        self.schur = build_schur_structure(ba_pose_idx, ba_lm_idx, self.Pa, self.La)
-        self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
-        s = self.schur
-
         lay = self.group_layout
         use_kernel = lay is not None and jax.default_backend() != "cpu"
+
+        t0 = _time.perf_counter()
+        if use_kernel:
+            # the kernel path never reads the triple plan: derive the Hsc
+            # pattern straight from the layout's group pair keys instead of
+            # enumerating all ~1.7M multiply triples (saves ~250 ms host
+            # time per structure)
+            diag_keys = np.arange(self.Pa, dtype=np.int64) * (self.Pa + 1)
+            keys = np.unique(
+                np.concatenate([lay.out_key[lay.out_key >= 0], diag_keys])
+            )
+            z = np.zeros(0, dtype=np.int32)
+            self.schur = SchurStructure(
+                num_poses=self.Pa,
+                num_landmarks=self.La,
+                nnz_blocks=int(keys.size),
+                blk_row=(keys // self.Pa).astype(np.int32),
+                blk_col=(keys % self.Pa).astype(np.int32),
+                diag_pos=np.searchsorted(keys, diag_keys).astype(np.int32),
+                tri_ei=z, tri_ej=z, tri_k=z, tri_sorted=True,
+                rowptr=np.zeros(self.Pa + 1, dtype=np.int64),
+                nmul_blocks=int(lay.meta.n_out),
+            )
+        else:
+            self.schur = build_schur_structure(
+                ba_pose_idx, ba_lm_idx, self.Pa, self.La
+            )
+        self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
+        s = self.schur
         layout_fields = {}
         if lay is not None:
             meta = lay.meta._replace(use_kernel=use_kernel)
@@ -930,6 +1005,16 @@ class BlockSolver:
                 lm_extra_pos=jnp.asarray(extra_lm.astype(np.int32)),
             )
 
+        # banded Hsc -> Pallas band factor/solve (pallas/bandchol.py);
+        # guarded by the whole-band-in-VMEM budget and a sane bandwidth
+        band_meta = None
+        if s.nnz_blocks and jax.default_backend() != "cpu":
+            bw = int(np.max(s.blk_col.astype(np.int64) - s.blk_row))
+            sb = -(-(bw + 1) // 8) * 8
+            vmem = (self.Pa + sb) * sb * 512  # 36->128-lane f32 rows
+            if bw + 1 <= 48 and vmem <= 11 * 2**20:
+                band_meta = BandMeta(bw=bw, sb=sb)
+
         tri_plan = None
         if not use_kernel:
             tri_plan = build_bucket_plan(
@@ -950,6 +1035,7 @@ class BlockSolver:
             pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
             blk_row_plan=build_bucket_plan(s.blk_row, self.Pa, sorted_ids=True),
             blk_col_plan=build_bucket_plan(s.blk_col, self.Pa),
+            band=band_meta,
             **layout_fields,
         )
         self._compile()
@@ -975,9 +1061,17 @@ class BlockSolver:
         for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):
             if meta.has_landmark and data.pose_xp is None:
                 pxp = build_expand_plan(pi[:cov], self.P, chunk=1024)
-                lxp = build_expand_plan(li[:cov], self.L, chunk=1024)
-                if pxp is not None and lxp is not None:
-                    data = data._replace(pose_xp=pxp, lm_xp=lxp)
+                if self.group_layout is not None:
+                    # landmark state comes from slot-tiled slices, not the
+                    # one-hot kernel (models/ba.py:_edge_inputs)
+                    if pxp is not None:
+                        data = data._replace(
+                            pose_xp=pxp, lm_slot=self.group_layout.meta
+                        )
+                else:
+                    lxp = build_expand_plan(li[:cov], self.L, chunk=1024)
+                    if pxp is not None and lxp is not None:
+                        data = data._replace(pose_xp=pxp, lm_xp=lxp)
             new_packed.append(data)
         self.packed = tuple(new_packed)
 
@@ -1174,7 +1268,7 @@ def _jit_reduce(sys, lam, plan, metas, Pa, La, nnz):
 def _jit_solve_reduced(blocks, bsc, plan, Pa, mixed):
     return _solve_reduced_blocks(
         blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
-        plan.blk_row_plan, plan.blk_col_plan,
+        plan.blk_row_plan, plan.blk_col_plan, plan.band,
     )
 
 

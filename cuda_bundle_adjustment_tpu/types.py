@@ -33,6 +33,8 @@ class PackedEdges(NamedTuple):
     # (q/t by pose_idx, Xw by lm_idx); None -> plain XLA gathers (CPU path)
     pose_xp: object = None  # Optional[pallas.onehot.ExpandPlan]
     lm_xp: object = None
+    lm_slot: object = None  # Optional[groups.GroupLayoutMeta]: landmark state
+    # reads become d stacked slice copies per class (no gather at all)
 
 
 class GraphArrays(NamedTuple):

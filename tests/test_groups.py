@@ -98,3 +98,33 @@ def test_result_landmarks_round_trip():
     np.testing.assert_allclose(
         solver.result_landmarks(), problem.landmarks, rtol=0, atol=0
     )
+
+
+def test_pattern_from_layout_matches_symbolic():
+    """The kernel path derives the Hsc pattern from group pair keys instead
+    of triple enumeration; both must agree exactly."""
+    from cuda_bundle_adjustment_tpu.solver.symbolic import build_schur_structure
+
+    problem = make_ba_problem(
+        num_poses=24, num_landmarks=300, mean_obs_per_landmark=5.0,
+        kind="mono", seed=19,
+    )
+    Pa, La = problem.num_active_poses, problem.num_active_landmarks
+    lay = build_group_layout(problem.pose_idx, problem.lm_idx, Pa, La)
+
+    # permuted indices as the solver would see them
+    perm = lay.edge_perm
+    dummy = perm < 0
+    src = np.where(dummy, 0, perm)
+    pi = problem.pose_idx[src].astype(np.int64)
+    pi[dummy] = Pa
+    li_new = lay.lm_renumber[problem.lm_idx.astype(np.int64)]
+    li = li_new[src]
+    li[dummy] = 0
+    s = build_schur_structure(pi, li, Pa, lay.meta.la_pad)
+
+    diag_keys = np.arange(Pa, dtype=np.int64) * (Pa + 1)
+    keys = np.unique(np.concatenate([lay.out_key[lay.out_key >= 0], diag_keys]))
+    np.testing.assert_array_equal(
+        keys, s.blk_row.astype(np.int64) * Pa + s.blk_col
+    )
