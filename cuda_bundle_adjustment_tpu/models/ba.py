@@ -33,6 +33,18 @@ from ..ops.robust import robust_derivative, robustify
 from ..types import GraphArrays, PackedEdges
 
 
+def _pose_state_table(graph: GraphArrays):
+    """[P, 12] per-pose state: translation + rotation matrix (row-major).
+
+    Rotations are computed once per POSE here — not per edge — saving ~24
+    f64-emulated ops per edge in both the chi and quadratic-form passes
+    (the reference evaluates R(q) per edge, cuda_block_solver.cu:449-478).
+    """
+    q = graph.q
+    R = C.rotmat_comps(q[:, 0], q[:, 1], q[:, 2], q[:, 3])
+    return jnp.concatenate([graph.t] + [r[:, None] for r in R], axis=1)
+
+
 def _edge_inputs(graph: GraphArrays, data: PackedEdges):
     """Gather per-edge component vectors (all [E]) from the small state tables.
 
@@ -43,7 +55,7 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
         from ..pallas.onehot import expand
 
         E = data.pose_idx.shape[0]
-        qt = expand(jnp.concatenate([graph.q, graph.t], axis=1), data.pose_xp)
+        qt = expand(_pose_state_table(graph), data.pose_xp)
         if data.lm_slot is not None:
             # group layout: landmark state per edge = d stacked slice copies
             # of each class's state block (slot-major order, solver/groups.py)
@@ -67,7 +79,7 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
             # the scattered extras tail out of the windowed kernel); gather
             # the tail rows with XLA — it is tiny
             pi_t = data.pose_idx[qt.shape[1] :]
-            qtbl = jnp.concatenate([graph.q, graph.t], axis=1).T
+            qtbl = _pose_state_table(graph).T
             qt = jnp.concatenate(
                 [qt, qtbl[:, jnp.minimum(pi_t, qtbl.shape[1] - 1)]], axis=1
             )
@@ -75,19 +87,17 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
             Xw3 = jnp.concatenate(
                 [Xw3, graph.Xw.T[:, data.lm_idx[Xw3.shape[1] :]]], axis=1
             )
-        q = tuple(qt[i] for i in range(4))
-        t = tuple(qt[4 + i] for i in range(3))
+        t = tuple(qt[i] for i in range(3))
+        R = tuple(qt[3 + i] for i in range(9))
         Xw = tuple(Xw3[i] for i in range(3))
     else:
-        qT = graph.q.T  # [4, P] — tiny transpose
-        tT = graph.t.T
+        sT = _pose_state_table(graph).T  # [12, P] — tiny transpose
         XT = graph.Xw.T
         pi, li = data.pose_idx, data.lm_idx
-        q = tuple(qT[i][pi] for i in range(4))
-        t = tuple(tT[i][pi] for i in range(3))
+        t = tuple(sT[i][pi] for i in range(3))
+        R = tuple(sT[3 + i][pi] for i in range(9))
         Xw = tuple(XT[i][li] for i in range(3))
     cam = tuple(data.cam[i] for i in range(5))
-    R = C.rotmat_comps(*q)
     Xc = C.project_w2c_comps(R, t[0], t[1], t[2], Xw[0], Xw[1], Xw[2])
     # mask 1/z at the source: inert/padding edges with degenerate geometry
     # (z = 0) must not inject inf/NaN anywhere downstream

@@ -64,9 +64,15 @@ def build_expand_plan(
     table_cols: int,
     chunk: int = 2048,
     max_window: int = 8192,
+    device_idx=None,
 ) -> Optional[ExpandPlan]:
     """Plan ``expand`` for these indices; ``None`` if windows would exceed
-    ``max_window`` (no locality — fall back to an XLA gather)."""
+    ``max_window`` (no locality — fall back to an XLA gather).
+
+    ``device_idx``: the same indices already resident on the device (e.g.
+    ``PackedEdges.pose_idx``) — the plan's chunk matrix is then a pad+reshape
+    of that array instead of a second multi-MB upload (the RPC tunnel moves
+    ~40 MB/s; re-uploading what the device already has costs ~100 ms)."""
     idx = np.asarray(idx, dtype=np.int64)
     if chunk % 1024:
         raise ValueError("chunk must be a multiple of 1024")
@@ -98,9 +104,21 @@ def build_expand_plan(
             return None
         starts = np.minimum(starts, max(M - 1, 0))
 
+    if device_idx is not None and device_idx.shape[0] >= E:
+        di = jax.lax.slice_in_dim(device_idx, 0, E, axis=0).astype(jnp.int32)
+        pad = nch * chunk - E
+        if pad:
+            di = jnp.concatenate(
+                [di, jnp.full((pad,), M, dtype=jnp.int32)], axis=0
+            )
+        idx_dev = di.reshape(nch, 8, chunk // 8)
+    else:
+        idx_dev = jnp.asarray(
+            by_chunk.reshape(nch, 8, chunk // 8).astype(np.int32)
+        )
     return ExpandPlan(
         starts=jnp.asarray(starts.astype(np.int32)),
-        idx=jnp.asarray(by_chunk.reshape(nch, 8, chunk // 8).astype(np.int32)),
+        idx=idx_dev,
         window=int(window),
         chunk=int(chunk),
         num_rows=E,

@@ -96,6 +96,7 @@ class SchurPlan(NamedTuple):
     fix_rows: object = None  # int32 rows needing a transposed duplicate
     lm_extra_pos: object = None  # int32 [n_extras] landmark position per extra
     band: object = None  # BandMeta | None: banded Hsc -> Pallas band solver
+    chunk_pose: object = None  # int32 [M] pose per (class, slot, chunk) row
 
 
 # ---------------------------------------------------------------------------
@@ -146,6 +147,28 @@ def _lm_slot_expand(tbl, plan):
     if lay.n_extras:
         idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], tbl.shape[0] - 1)
         parts.append(tbl[idx])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _pose_chunk_presum(X, plan):
+    """Dense pre-reduction of per-edge rows over chunk members: every member
+    of a co-visibility chunk shares the same pose per slot (solver/groups.py),
+    so the pose-side bucket reduction only needs one row per (class, slot,
+    chunk) — ~Gc x fewer gathered rows.  Returns ``[M (+extras), K]`` rows
+    ordered to match the plan built over ``GroupLayout.chunk_pose``."""
+    lay = plan.layout
+    K = X.shape[1]
+    parts = []
+    for cm in lay.classes:
+        S = lay.gc * cm.nc_pad
+        seg = jax.lax.slice_in_dim(X, cm.e_start, cm.e_start + cm.d * S, axis=0)
+        parts.append(
+            seg.reshape(cm.d, lay.gc, cm.nc_pad, K)
+            .sum(axis=1)
+            .reshape(cm.d * cm.nc_pad, K)
+        )
+    if lay.n_extras:
+        parts.append(jax.lax.slice_in_dim(X, lay.e_classes, lay.e_total, axis=0))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -206,10 +229,13 @@ def build_system(
 
     if all_ba and plan is not None:
         combined = jnp.concatenate([s for s, _ in pose_stacks], axis=0)  # [E,72]
-        pose_acc = reduce_rows(combined, plan.pose_plan)[:, :42]
         if plan.layout is not None:
+            pose_acc = reduce_rows(
+                _pose_chunk_presum(combined, plan), plan.pose_plan
+            )[:, :42]
             lm_acc = _lm_slot_sum(combined[:, 42:54], plan, La)
         else:
+            pose_acc = reduce_rows(combined, plan.pose_plan)[:, :42]
             lm_acc = reduce_rows(combined, plan.lm_plan)[:, 42:54]
         Hpl = combined[:, 54:]
         Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
@@ -460,7 +486,10 @@ def schur_reduce(
     else:
         ib = tbl[plan.ba_lm_idx]  # [E,12]
     W = flat_mm_6x3_3x3(sys.Hpl, ib[:, :9])  # [E,18]
-    bsc = sys.bp - reduce_rows(flat_mv_6x3(W, ib[:, 9:]), plan.bsc_plan)
+    bsc_rows = flat_mv_6x3(W, ib[:, 9:])
+    if plan.layout is not None:
+        bsc_rows = _pose_chunk_presum(bsc_rows, plan)
+    bsc = sys.bp - reduce_rows(bsc_rows, plan.bsc_plan)
 
     # triple products Hsc[k] -= W[ei] Hpl[ej]^T.  Grouped path: dense
     # double-float pair products per co-visibility chunk (pallas/pairprod.py)
@@ -501,7 +530,29 @@ def schur_back_substitute(
     from .segments import reduce_rows
 
     Pa = num_active_poses
-    xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
+    if plan.layout is not None and plan.chunk_pose is not None:
+        # chunk members share their slot pose: gather xp once per chunk row
+        # and broadcast over members (~Gc x fewer gathered rows)
+        lay = plan.layout
+        xp_c = xp[jnp.minimum(plan.chunk_pose, Pa - 1)]  # [M, 6]
+        parts = []
+        off = 0
+        for cm in lay.classes:
+            rows = cm.d * cm.nc_pad
+            seg = jax.lax.slice_in_dim(xp_c, off, off + rows, axis=0)
+            parts.append(
+                jnp.broadcast_to(
+                    seg.reshape(cm.d, 1, cm.nc_pad, 6),
+                    (cm.d, lay.gc, cm.nc_pad, 6),
+                ).reshape(cm.d * lay.gc * cm.nc_pad, 6)
+            )
+            off += rows
+        if lay.n_extras:
+            idx = plan.ba_pose_idx[lay.e_classes :]
+            parts.append(xp[jnp.minimum(idx, Pa - 1)])
+        xp_e = jnp.concatenate(parts, axis=0)
+    else:
+        xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
     contrib = flat_mtv_6x3(sys.Hpl, xp_e)
     if plan.layout is not None:
         cl = sys.bl - _lm_slot_sum(contrib, plan, sys.bl.shape[0])
@@ -1003,6 +1054,10 @@ class BlockSolver:
                 outk_plan=build_bucket_plan(ids, s.nnz_blocks),
                 fix_rows=jnp.asarray(lay.fix_rows.astype(np.int32)),
                 lm_extra_pos=jnp.asarray(extra_lm.astype(np.int32)),
+                chunk_pose=jnp.asarray(
+                    np.where(lay.chunk_pose < 0, self.Pa, lay.chunk_pose)
+                    .astype(np.int32)
+                ),
             )
 
         # banded Hsc -> Pallas band factor/solve (pallas/bandchol.py);
@@ -1014,6 +1069,14 @@ class BlockSolver:
             vmem = (self.Pa + sb) * sb * 512  # 36->128-lane f32 rows
             if bw + 1 <= 48 and vmem <= 11 * 2**20:
                 band_meta = BandMeta(bw=bw, sb=sb)
+
+        chunked_pose_ids = None
+        if lay is not None:
+            extra_pose = ba_pose_idx[lay.meta.e_classes :].astype(np.int64)
+            chunked_pose_ids = np.concatenate(
+                [np.where(lay.chunk_pose < 0, self.Pa, lay.chunk_pose),
+                 extra_pose]
+            )
 
         tri_plan = None
         if not use_kernel:
@@ -1028,11 +1091,15 @@ class BlockSolver:
             blk_col=jnp.asarray(s.blk_col),
             diag_pos=jnp.asarray(s.diag_pos),
             tri_plan=tri_plan,
-            bsc_plan=build_bucket_plan(ba_pose_idx, self.Pa),
+            bsc_plan=build_bucket_plan(
+                chunked_pose_ids if lay is not None else ba_pose_idx, self.Pa
+            ),
             lm_plan=None if lay is not None else build_bucket_plan(
                 ba_lm_idx, self.La
             ),
-            pose_plan=build_bucket_plan(all_pose_idx, self.Pa),
+            pose_plan=build_bucket_plan(
+                chunked_pose_ids if lay is not None else all_pose_idx, self.Pa
+            ),
             blk_row_plan=build_bucket_plan(s.blk_row, self.Pa, sorted_ids=True),
             blk_col_plan=build_bucket_plan(s.blk_col, self.Pa),
             band=band_meta,
@@ -1060,7 +1127,9 @@ class BlockSolver:
         new_packed = []
         for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):
             if meta.has_landmark and data.pose_xp is None:
-                pxp = build_expand_plan(pi[:cov], self.P, chunk=1024)
+                pxp = build_expand_plan(
+                    pi[:cov], self.P, chunk=1024, device_idx=data.pose_idx
+                )
                 if self.group_layout is not None:
                     # landmark state comes from slot-tiled slices, not the
                     # one-hot kernel (models/ba.py:_edge_inputs)
@@ -1069,7 +1138,9 @@ class BlockSolver:
                             pose_xp=pxp, lm_slot=self.group_layout.meta
                         )
                 else:
-                    lxp = build_expand_plan(li[:cov], self.L, chunk=1024)
+                    lxp = build_expand_plan(
+                        li[:cov], self.L, chunk=1024, device_idx=data.lm_idx
+                    )
                     if pxp is not None and lxp is not None:
                         data = data._replace(pose_xp=pxp, lm_xp=lxp)
             new_packed.append(data)

@@ -81,6 +81,9 @@ class GroupLayout(NamedTuple):
     b_lut: tuple  # per class: int32 [npairs] second slot (a <= b)
     out_key: np.ndarray  # [n_out] int64 s_a * Pa + s_b, or -1 (dummy chunk)
     fix_rows: np.ndarray  # flat output rows needing a transposed duplicate
+    chunk_pose: np.ndarray = None  # [sum_d d*nc_pad] pose of each (class,
+    # slot, chunk) row — every chunk member shares it, so pose-side
+    # reductions pre-sum members densely; -1 for dummy chunks
     # (pairs a != b whose chunk pose tuple has s_a == s_b: they hit a
     # diagonal block, which densify never mirrors — symbolic.py:117-128)
 
@@ -116,6 +119,7 @@ def build_group_layout(
 
     classes = []
     a_luts, b_luts = [], []
+    chunk_pose_parts = []
     lm_order_parts = []
     lm_renumber = np.full(La, -1, dtype=np.int64)
     perm_parts = []
@@ -183,6 +187,9 @@ def build_group_layout(
         ct = tup_s[first_of_chunk]  # [nc, d]
         keys[:, :nc] = (ct[:, aa] * Pa + ct[:, bb]).T
         out_key_parts.append(keys.reshape(-1))
+        cp = np.full((d, nc_pad), -1, dtype=np.int64)
+        cp[:, :nc] = ct.T  # slot-major chunk poses
+        chunk_pose_parts.append(cp.reshape(-1))
 
         # duplicate-pose fix rows: a != b but s_a == s_b (diagonal block)
         dup = (aa != bb)[:, None] & (ct[:, aa] == ct[:, bb]).T[:, :nc]
@@ -230,6 +237,11 @@ def build_group_layout(
     fix_rows = (
         np.concatenate(fix_parts) if fix_parts else np.zeros(0, dtype=np.int64)
     )
+    chunk_pose = (
+        np.concatenate(chunk_pose_parts)
+        if chunk_pose_parts
+        else np.zeros(0, dtype=np.int64)
+    )
 
     meta = GroupLayoutMeta(
         classes=tuple(classes),
@@ -249,4 +261,5 @@ def build_group_layout(
         b_lut=tuple(b_luts),
         out_key=out_key,
         fix_rows=fix_rows,
+        chunk_pose=chunk_pose,
     )
