@@ -124,7 +124,7 @@ def _chi_projective(kind, graph, data, rk, delta):
     return robustify(rk, delta, x) * data.active
 
 
-def _terms_projective(kind, jac_fn, graph, data, rk, delta):
+def _terms_projective(kind, jac_fn, graph, data, rk, delta, with_chi=False):
     R, Xc, cam, inv_z, mask = _edge_inputs(graph, data)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
     e = tuple(jnp.where(mask, c, 0.0) for c in e)
@@ -133,6 +133,12 @@ def _terms_projective(kind, jac_fn, graph, data, rk, delta):
     JP, JL = jac_fn(Xc, R, cam, inv_z)
     pose_stack, lm_stack, hpl = C.weighted_block_stacks(JP, JL, e, w)
     both_free = (w * data.free_p * data.free_l)[..., None]
+    if with_chi:
+        # chi rides the same residual pass: one state expansion + residual
+        # evaluation instead of two per LM trial (terms for the next
+        # linearisation, chi for the accept test share everything up to x)
+        chi = robustify(rk, delta, x) * data.active
+        return pose_stack, lm_stack, hpl * both_free, chi
     return pose_stack, lm_stack, hpl * both_free
 
 
@@ -150,6 +156,12 @@ class MonoModel:
             "mono", C.mono_jacobian_comps, graph, data, rk, delta
         )
 
+    @staticmethod
+    def terms_chi(graph, data, rk, delta):
+        return _terms_projective(
+            "mono", C.mono_jacobian_comps, graph, data, rk, delta, with_chi=True
+        )
+
 
 class StereoModel:
     MDIM = 3
@@ -163,6 +175,12 @@ class StereoModel:
     def terms(graph, data, rk, delta):
         return _terms_projective(
             "stereo", C.stereo_jacobian_comps, graph, data, rk, delta
+        )
+
+    @staticmethod
+    def terms_chi(graph, data, rk, delta):
+        return _terms_projective(
+            "stereo", C.stereo_jacobian_comps, graph, data, rk, delta, with_chi=True
         )
 
 
@@ -180,6 +198,12 @@ class DepthModel:
     def terms(graph, data, rk, delta):
         return _terms_projective(
             "depth", C.stereo_jacobian_comps, graph, data, rk, delta
+        )
+
+    @staticmethod
+    def terms_chi(graph, data, rk, delta):
+        return _terms_projective(
+            "depth", C.stereo_jacobian_comps, graph, data, rk, delta, with_chi=True
         )
 
 

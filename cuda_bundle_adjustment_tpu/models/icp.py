@@ -87,6 +87,11 @@ class LineModel:
         pose_stack, _, _ = C.weighted_block_stacks((jp,), None, (e,), w)
         return pose_stack, None, None
 
+    @staticmethod
+    def terms_chi(graph, data, rk, delta):
+        out = LineModel.terms(graph, data, rk, delta)
+        return (*out, LineModel.chi(graph, data, rk, delta))
+
 
 class PlaneModel:
     MDIM = 1
@@ -117,6 +122,11 @@ class PlaneModel:
         w = data.omega * data.active
         pose_stack, _, _ = C.weighted_block_stacks((jp,), None, (e,), w)
         return pose_stack, None, None
+
+    @staticmethod
+    def terms_chi(graph, data, rk, delta):
+        out = PlaneModel.terms(graph, data, rk, delta)
+        return (*out, PlaneModel.chi(graph, data, rk, delta))
 
 
 class LineEdge(BaseEdge):

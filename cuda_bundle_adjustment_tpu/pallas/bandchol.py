@@ -146,7 +146,8 @@ def _make_factor_kernel(Pa: int, SB: int, bw: int):
             gb_u = [_gb(strip, k) for k in range(6)]
             Lt = None
             for k in range(6):
-                t = gb_u[k] * _rowpat([invL[0, 6 * i + k] for i in range(6)])
+                # invL[i, k] on every lane of block row i == _gspread(invL, k)
+                t = gb_u[k] * _gspread(invL, k)
                 Lt = t if Lt is None else Lt + t
             row0 = invL
             is0 = (row_id == 0).astype(jnp.float32)
@@ -157,12 +158,13 @@ def _make_factor_kernel(Pa: int, SB: int, bw: int):
             # upd[d1, 6i+j] = sum_k Lt_d2[k,i] * Lt_d1[k,j]
             gb_l = [_gb(Lt, k) for k in range(6)]
             for d2 in range(1, bw + 1):
+                # pattern P_k[6i+j] = Lt_d2[k, i]: a lane transpose of row d2
+                # followed by within-group spreads — vector ops instead of
+                # 36 scalar extracts per d2
+                Q = _lane_T(Lt[d2 : d2 + 1, :])  # Q[6i+k] = Lt_d2[k, i]
                 upd = None
                 for k in range(6):
-                    pat = _rowpat(
-                        [Lt[d2, 6 * k + i] for i in range(6)]
-                    )  # Lt_d2[k, i] on block row i
-                    t = gb_l[k] * pat
+                    t = gb_l[k] * _gspread(Q, k)
                     upd = t if upd is None else upd + t
                 shifted = pltpu.roll(upd, SB - d2, axis=0)
                 shifted = jnp.where(row_id < SB - d2, shifted, 0.0)

@@ -202,6 +202,35 @@ def build_system(
     arrive flat ([E,42]/[E,12]/[E,18]) from the models to keep TPU tiling
     sane.
     """
+    sys, _ = _build_system_impl(
+        graph, packed, metas, num_active_poses, num_active_landmarks, plan,
+        with_chi=False,
+    )
+    return sys
+
+
+def build_system_chi(
+    graph: GraphArrays,
+    packed: tuple[PackedEdges, ...],
+    metas: tuple[EdgeSetMeta, ...],
+    num_active_poses: int,
+    num_active_landmarks: int,
+    plan: Optional[SchurPlan] = None,
+) -> tuple[SystemBlocks, jnp.ndarray]:
+    """Assemble the system AND the total chi2 in one pass: the LM trial's
+    accept test and the next iteration's linearisation share the state
+    expansion and residual evaluation (the reference runs them as separate
+    kernels, cuda_block_solver.cu:1059-1110 vs 1151-1220)."""
+    return _build_system_impl(
+        graph, packed, metas, num_active_poses, num_active_landmarks, plan,
+        with_chi=True,
+    )
+
+
+def _build_system_impl(
+    graph, packed, metas, num_active_poses, num_active_landmarks, plan,
+    with_chi,
+):
     from .segments import reduce_rows
 
     Pa, La = num_active_poses, num_active_landmarks
@@ -209,9 +238,18 @@ def build_system(
     pose_stacks, lm_stacks, Hpl_parts = [], [], []
     all_ba = all(m.has_landmark for m in metas)
 
+    chi = jnp.zeros((), dtype) if with_chi else None
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
-        pose_stack, lm_stack, hpl = model.terms(graph, data, meta.rk, meta.delta)
+        if with_chi:
+            pose_stack, lm_stack, hpl, chi_e = model.terms_chi(
+                graph, data, meta.rk, meta.delta
+            )
+            chi = chi + jnp.sum(chi_e)
+        else:
+            pose_stack, lm_stack, hpl = model.terms(
+                graph, data, meta.rk, meta.delta
+            )
         if all_ba and plan is not None:
             # ONE [E,72] stack per set instead of three: every [E,K<128]
             # array pads to [E,128] physically, so separate 42/12/18-wide
@@ -242,7 +280,7 @@ def build_system(
         return SystemBlocks(
             Hpp=Hpp, bp=pose_acc[:, 36:], Hll=lm_acc[:, :9], bl=lm_acc[:, 9:],
             Hpl=Hpl,
-        )
+        ), chi
 
     if plan is not None and plan.pose_plan is not None:
         pose_acc = reduce_rows(
@@ -272,7 +310,7 @@ def build_system(
     else:
         Hll = bl = None
     Hpl = jnp.concatenate(Hpl_parts, axis=0) if Hpl_parts else None
-    return SystemBlocks(Hpp=Hpp, bp=bp, Hll=Hll, bl=bl, Hpl=Hpl)
+    return SystemBlocks(Hpp=Hpp, bp=bp, Hll=Hll, bl=bl, Hpl=Hpl), chi
 
 
 def max_diagonal(sys: SystemBlocks) -> jnp.ndarray:

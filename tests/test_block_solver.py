@@ -143,3 +143,23 @@ def test_robust_kernel_system_matches_dense():
         for p in range(solver.Pa):
             sp = slice(6 * p, 6 * p + 6)
             np.testing.assert_allclose(Hpp[p], H[sp, sp], rtol=1e-8, atol=1e-9)
+
+
+def test_build_system_chi_matches_separate(small_problem):
+    """build_system_chi must equal (build_system, compute_chi) exactly-ish:
+    one shared residual pass vs two separate ones (fusion candidate API)."""
+    solver = _solver_for(small_problem)
+    chi_ref, sys_ref = solver.head()
+    sys2, chi2 = bs.build_system_chi(
+        solver.graph, solver.packed, solver.metas, solver.Pa, solver.La,
+        solver.plan,
+    )
+    np.testing.assert_allclose(float(chi2), float(chi_ref), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(sys2),
+                    jax.tree_util.tree_leaves(sys_ref)):
+        b = np.asarray(b)
+        # different compiled programs reassociate under
+        # --xla_allow_excess_precision: compare to the term magnitudes
+        np.testing.assert_allclose(
+            np.asarray(a), b, atol=1e-11 * max(np.abs(b).max(), 1.0)
+        )
