@@ -45,17 +45,40 @@ def _pose_state_table(graph: GraphArrays):
     return jnp.concatenate([graph.t] + [r[:, None] for r in R], axis=1)
 
 
-def _edge_inputs(graph: GraphArrays, data: PackedEdges):
+def expand_pose_state(graph: GraphArrays, data: PackedEdges):
+    """Per-edge pose state ``[12, E]`` (t + R columns) via the one-hot
+    kernel, including the extras tail.  Exposed so the fused LM loop can
+    compute it ONCE per candidate graph and share it between the trial's
+    chi pass and the next iteration's linearisation."""
+    from ..pallas.onehot import expand
+
+    E = data.pose_idx.shape[0]
+    qt = expand(_pose_state_table(graph), data.pose_xp)
+    if qt.shape[1] < E:
+        pi_t = data.pose_idx[qt.shape[1] :]
+        qtbl = _pose_state_table(graph).T
+        qt = jnp.concatenate(
+            [qt, qtbl[:, jnp.minimum(pi_t, qtbl.shape[1] - 1)]], axis=1
+        )
+    return qt
+
+
+def _edge_inputs(graph: GraphArrays, data: PackedEdges, pose_state=None):
     """Gather per-edge component vectors (all [E]) from the small state tables.
 
     On TPU the gathers run as exact Pallas one-hot MXU selections
     (pallas/onehot.py, ~3x faster than XLA row gathers and bit-identical);
-    the XLA gather is the CPU/test fallback."""
-    if data.pose_xp is not None:
+    the XLA gather is the CPU/test fallback.  ``pose_state`` short-circuits
+    the pose expansion with a precomputed ``[12, E]`` (expand_pose_state)."""
+    if data.pose_xp is not None or pose_state is not None:
         from ..pallas.onehot import expand
 
         E = data.pose_idx.shape[0]
-        qt = expand(_pose_state_table(graph), data.pose_xp)
+        qt = (
+            pose_state
+            if pose_state is not None
+            else expand_pose_state(graph, data)
+        )
         if data.lm_slot is not None:
             # group layout: landmark state per edge = d stacked slice copies
             # of each class's state block (slot-major order, solver/groups.py)
@@ -74,15 +97,6 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges):
             Xw3 = jnp.concatenate(parts, axis=1)
         else:
             Xw3 = expand(graph.Xw, data.lm_xp)
-        if qt.shape[1] < E:
-            # expansion plans may cover only a prefix (group layout keeps
-            # the scattered extras tail out of the windowed kernel); gather
-            # the tail rows with XLA — it is tiny
-            pi_t = data.pose_idx[qt.shape[1] :]
-            qtbl = _pose_state_table(graph).T
-            qt = jnp.concatenate(
-                [qt, qtbl[:, jnp.minimum(pi_t, qtbl.shape[1] - 1)]], axis=1
-            )
         if Xw3.shape[1] < E:
             Xw3 = jnp.concatenate(
                 [Xw3, graph.Xw.T[:, data.lm_idx[Xw3.shape[1] :]]], axis=1
@@ -116,16 +130,18 @@ def _residual(kind: str, Xc, cam, meas, inv_z):
     raise ValueError(kind)
 
 
-def _chi_projective(kind, graph, data, rk, delta):
-    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data)
+def _chi_projective(kind, graph, data, rk, delta, pose_state=None):
+    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
     e = tuple(jnp.where(mask, c, 0.0) for c in e)
     x = data.omega * sum(c * c for c in e)
     return robustify(rk, delta, x) * data.active
 
 
-def _terms_projective(kind, jac_fn, graph, data, rk, delta, with_chi=False):
-    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data)
+def _terms_projective(
+    kind, jac_fn, graph, data, rk, delta, with_chi=False, pose_state=None
+):
+    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
     e = tuple(jnp.where(mask, c, 0.0) for c in e)
     x = data.omega * sum(c * c for c in e)
@@ -147,13 +163,15 @@ class MonoModel:
     HAS_LANDMARK = True
 
     @staticmethod
-    def chi(graph, data, rk, delta):
-        return _chi_projective("mono", graph, data, rk, delta)
+    def chi(graph, data, rk, delta, pose_state=None):
+        return _chi_projective(
+            "mono", graph, data, rk, delta, pose_state=pose_state
+        )
 
     @staticmethod
-    def terms(graph, data, rk, delta):
+    def terms(graph, data, rk, delta, pose_state=None):
         return _terms_projective(
-            "mono", C.mono_jacobian_comps, graph, data, rk, delta
+            "mono", C.mono_jacobian_comps, graph, data, rk, delta, pose_state=pose_state
         )
 
     @staticmethod
@@ -168,13 +186,15 @@ class StereoModel:
     HAS_LANDMARK = True
 
     @staticmethod
-    def chi(graph, data, rk, delta):
-        return _chi_projective("stereo", graph, data, rk, delta)
+    def chi(graph, data, rk, delta, pose_state=None):
+        return _chi_projective(
+            "stereo", graph, data, rk, delta, pose_state=pose_state
+        )
 
     @staticmethod
-    def terms(graph, data, rk, delta):
+    def terms(graph, data, rk, delta, pose_state=None):
         return _terms_projective(
-            "stereo", C.stereo_jacobian_comps, graph, data, rk, delta
+            "stereo", C.stereo_jacobian_comps, graph, data, rk, delta, pose_state=pose_state
         )
 
     @staticmethod
@@ -191,13 +211,15 @@ class DepthModel:
     HAS_LANDMARK = True
 
     @staticmethod
-    def chi(graph, data, rk, delta):
-        return _chi_projective("depth", graph, data, rk, delta)
+    def chi(graph, data, rk, delta, pose_state=None):
+        return _chi_projective(
+            "depth", graph, data, rk, delta, pose_state=pose_state
+        )
 
     @staticmethod
-    def terms(graph, data, rk, delta):
+    def terms(graph, data, rk, delta, pose_state=None):
         return _terms_projective(
-            "depth", C.stereo_jacobian_comps, graph, data, rk, delta
+            "depth", C.stereo_jacobian_comps, graph, data, rk, delta, pose_state=pose_state
         )
 
     @staticmethod

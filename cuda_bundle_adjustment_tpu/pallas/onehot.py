@@ -87,8 +87,8 @@ def build_expand_plan(
     span = 128
     if M <= max_window:
         window = _ceil_to(max(M, 128), 128)  # full table fits: one window
-        if window > 1024:
-            window = _ceil_to(window, 1024)  # W-tiling granularity
+        # (single-window kernels run one [W, C] tile; no 1024-rounding —
+        # rounding 1408 up to 2048 wasted 45% of the MXU work)
     else:
         for g in range(nch):
             valid = by_chunk[g][by_chunk[g] < M]
@@ -146,7 +146,9 @@ def _make_kernel(K: int, W: int, C: int, CSUB: int, nsplit: int):
             for d in dmas:
                 d.wait()
 
-            WT = min(W, 1024)  # onehot tile: bounds VMEM at [WT, CSUB]
+            # onehot tile bounds VMEM at [WT, CSUB]; non-multiples run as
+            # one full-width tile (VMEM [2048, 128] f32 = 1 MB is fine)
+            WT = W if (W % 1024) or W <= 2048 else 1024
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (WT, CSUB), 0)
 
             # fori_loops (not unrolled python loops): Mosaic then reuses one

@@ -173,13 +173,23 @@ def _pose_chunk_presum(X, plan):
 
 
 def compute_chi(
-    graph: GraphArrays, packed: tuple[PackedEdges, ...], metas: tuple[EdgeSetMeta, ...]
+    graph: GraphArrays,
+    packed: tuple[PackedEdges, ...],
+    metas: tuple[EdgeSetMeta, ...],
+    pose_state=None,
 ) -> jnp.ndarray:
-    """Total chi2 over all edge sets (reference stage "2: Compute Error")."""
+    """Total chi2 over all edge sets (reference stage "2: Compute Error").
+
+    ``pose_state``: precomputed per-edge pose state for the single-BA-set
+    case (the fused loop shares it with the next linearisation)."""
     total = jnp.zeros((), dtype=graph.q.dtype)
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
-        total = total + jnp.sum(model.chi(graph, data, meta.rk, meta.delta))
+        if pose_state is not None and len(packed) == 1:
+            chi_e = model.chi(graph, data, meta.rk, meta.delta, pose_state)
+        else:
+            chi_e = model.chi(graph, data, meta.rk, meta.delta)
+        total = total + jnp.sum(chi_e)
     return total
 
 
@@ -190,6 +200,7 @@ def build_system(
     num_active_poses: int,
     num_active_landmarks: int,
     plan: Optional[SchurPlan] = None,
+    pose_state=None,
 ) -> SystemBlocks:
     """Assemble Hpp/bp/Hll/bl and per-edge Hpl blocks (stage "3: Build System").
 
@@ -204,7 +215,7 @@ def build_system(
     """
     sys, _ = _build_system_impl(
         graph, packed, metas, num_active_poses, num_active_landmarks, plan,
-        with_chi=False,
+        with_chi=False, pose_state=pose_state,
     )
     return sys
 
@@ -229,7 +240,7 @@ def build_system_chi(
 
 def _build_system_impl(
     graph, packed, metas, num_active_poses, num_active_landmarks, plan,
-    with_chi,
+    with_chi, pose_state=None,
 ):
     from .segments import reduce_rows
 
@@ -241,11 +252,16 @@ def _build_system_impl(
     chi = jnp.zeros((), dtype) if with_chi else None
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
+        ps = pose_state if (pose_state is not None and len(packed) == 1) else None
         if with_chi:
             pose_stack, lm_stack, hpl, chi_e = model.terms_chi(
                 graph, data, meta.rk, meta.delta
             )
             chi = chi + jnp.sum(chi_e)
+        elif ps is not None:
+            pose_stack, lm_stack, hpl = model.terms(
+                graph, data, meta.rk, meta.delta, pose_state=ps
+            )
         else:
             pose_stack, lm_stack, hpl = model.terms(
                 graph, data, meta.rk, meta.delta

@@ -68,6 +68,25 @@ def optimize_fused(
 ) -> FusedResult:
     dtype = graph.q.dtype
 
+    # single-BA-set fast path: the per-edge pose state ([12, E]: t + R) is
+    # expanded ONCE per candidate graph and shared between the trial's chi
+    # pass and the next iteration's linearisation.  It rides the loop carry
+    # un-selected: retries re-use the closure state and the outer loop only
+    # continues after an accept (cf. the system-carry experiment in
+    # NEXT_STEPS.md — sharing works here because this is ~120 MB, not ~1 GB).
+    share_state = (
+        len(packed) == 1
+        and metas[0].kind in ("mono", "stereo", "depth")
+        and packed[0].pose_xp is not None
+    )
+
+    def pose_state_of(g):
+        if not share_state:
+            return None
+        from ..models.ba import expand_pose_state
+
+        return expand_pose_state(g, packed[0])
+
     def trial(graph, sys, lam):
         if do_schur:
             xp, xl, success = solve_schur(sys, lam, plan, Pa, La, nnz, mixed=mixed)
@@ -75,20 +94,23 @@ def optimize_fused(
             xp, success = solve_pose_only(sys, lam)
             xl = None
         new_graph = apply_update(graph, xp, xl, Pa, La)
-        Fhat = compute_chi(new_graph, packed, metas)
+        new_state = pose_state_of(new_graph)
+        Fhat = compute_chi(new_graph, packed, metas, new_state)
         scale = compute_scale(xp, xl, sys, lam)
-        return new_graph, Fhat, scale, success
+        return new_graph, new_state, Fhat, scale, success
 
-    def inner_damping(graph, sys, lam, nu, F):
+    def inner_damping(graph, state, sys, lam, nu, F):
         """The reject/re-damp loop.  Carry mirrors the host loop's locals."""
 
         def cond(c):
-            graph_c, lam_c, nu_c, F_c, rho, q, stop = c
+            graph_c, state_c, lam_c, nu_c, F_c, rho, q, stop = c
             return (~stop) & (q < MAXQ) & (rho < 0)
 
         def body(c):
-            graph_c, lam_c, nu_c, F_c, rho, q, stop = c
-            new_graph, Fhat, scale_raw, success = trial(graph_c, sys, lam_c)
+            graph_c, state_c, lam_c, nu_c, F_c, rho, q, stop = c
+            new_graph, new_state, Fhat, scale_raw, success = trial(
+                graph_c, sys, lam_c
+            )
             scale = scale_raw + 1e-3
             Fdiff = Fhat - F_c
             rho_t = jnp.where(success, (F_c - Fhat) / scale, jnp.asarray(-1.0, dtype))
@@ -109,10 +131,12 @@ def optimize_fused(
             bail = (~jnp.isfinite(lam_n)) | (Fdiff < 1e-4)
             stop_n = accept | bail
             q_n = jnp.where(stop_n, q, q + 1)
-            return (graph_n, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
+            # new_state rides un-selected: consumed only after an accept
+            return (graph_n, new_state, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
 
         init = (
             graph,
+            state,
             lam,
             nu,
             F,
@@ -120,37 +144,49 @@ def optimize_fused(
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
         )
-        graph_f, lam_f, nu_f, F_f, rho_f, q_f, _ = jax.lax.while_loop(cond, body, init)
-        return graph_f, lam_f, nu_f, F_f, rho_f, q_f
+        graph_f, state_f, lam_f, nu_f, F_f, rho_f, q_f, _ = jax.lax.while_loop(
+            cond, body, init
+        )
+        return graph_f, state_f, lam_f, nu_f, F_f, rho_f, q_f
 
     def one_iteration(it, carry):
-        graph, F, lam, nu, done, trace, n_done, rho_last = carry
+        graph, state, F, lam, nu, done, trace, n_done, rho_last = carry
 
         def run(args):
-            graph, F0, lam, nu, trace, n_done = args
-            # F0 is carried from the previous iteration's accepted trial —
-            # recomputing chi on the same graph is deterministic and equal,
-            # so carrying saves one full residual pass per iteration
-            sys = build_system(graph, packed, metas, Pa, La, plan)
+            graph, state, F0, lam, nu, trace, n_done = args
+            # F0 and the expanded pose state are carried from the previous
+            # iteration's accepted trial — recomputing on the same graph is
+            # deterministic and equal, so carrying saves one full residual
+            # pass and one state expansion per iteration
+            sys = build_system(
+                graph, packed, metas, Pa, La, plan, pose_state=state
+            )
             lam0 = jnp.where(it == 0, TAU * max_diagonal(sys), lam)
-            graph, lam, nu, F, rho, q = inner_damping(graph, sys, lam0, nu, F0)
+            graph, state, lam, nu, F, rho, q = inner_damping(
+                graph, state, sys, lam0, nu, F0
+            )
             trace = trace.at[it].set(F)
             done_now = (q == MAXQ) | (rho < 1e-6) | (~jnp.isfinite(lam))
-            return graph, F, lam, nu, done_now, trace, n_done + 1, rho
+            return graph, state, F, lam, nu, done_now, trace, n_done + 1, rho
 
         def skip(args):
-            graph, F, lam, nu, trace, n_done = args
-            return graph, F, lam, nu, jnp.asarray(True), trace, n_done, rho_last
+            graph, state, F, lam, nu, trace, n_done = args
+            return (
+                graph, state, F, lam, nu, jnp.asarray(True), trace, n_done,
+                rho_last,
+            )
 
-        graph, F, lam, nu, done, trace, n_done, rho = jax.lax.cond(
-            done, skip, run, (graph, F, lam, nu, trace, n_done)
+        graph, state, F, lam, nu, done, trace, n_done, rho = jax.lax.cond(
+            done, skip, run, (graph, state, F, lam, nu, trace, n_done)
         )
-        return graph, F, lam, nu, done, trace, n_done, rho
+        return graph, state, F, lam, nu, done, trace, n_done, rho
 
+    state0 = pose_state_of(graph)
     trace0 = jnp.zeros((niterations,), dtype)
     carry = (
         graph,
-        compute_chi(graph, packed, metas),
+        state0,
+        compute_chi(graph, packed, metas, state0),
         jnp.asarray(0.0, dtype),
         jnp.asarray(2.0, dtype),
         jnp.asarray(False),
@@ -158,7 +194,7 @@ def optimize_fused(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(-1.0, dtype),
     )
-    graph, F, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
+    graph, state, F, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
         0, niterations, one_iteration, carry
     )
     return FusedResult(
