@@ -283,3 +283,142 @@ def band_solve(L, b, Pa, SB, bw, interpret=False):
             interpret=interpret,
         )(L, bp)
     return out[:Pa]
+
+
+# ---------------------------------------------------------------------------
+# v2 factor: scalar-band layout, MXU inner ops
+# ---------------------------------------------------------------------------
+#
+# Layout: ``band2[(c*6+ii), (6d+jj)] = upper(c, c+d)[ii, jj]`` — produced
+# from the block-row band by one small XLA transpose
+# (``[Pa+SB, SB, 6, 6] -> (0,2,1,3)``).  The whole array is VMEM-resident
+# (~4 MB at KITTI-00 scale).  Per column step:
+#
+#   S6    = band2[c*6 : c*6+6, :]            # [6, 96]: row c of the upper
+#   invL  = chol6_inv(S6[:, 0:6])            # sublane-form 6x6
+#   LcT   = invL @ S6                        # ONE MXU dot = all L_d^T
+#   U     = dot_general(LcT, LcT, contract sublanes)   # L L^T, no transpose
+#   band2[c*6+6 : c*6+96, :] -= skew(U)[6:, :]         # 16 masked rolls
+#
+# ~150 vector ops + 2 MXU ops per column versus ~1600 vector ops for the
+# lane-arithmetic v1 kernel.  Output comes back in the same layout with
+# inv(L_cc) stored at the diagonal block; XLA inverse-transposes it into the
+# block-row layout the (unchanged) solve kernels consume.
+
+
+def _chol8_inv(D8):
+    """6x6 Cholesky + lower-factor inverse on an [8, 8] tile (rows/cols 6-7
+    are ignored on input and ZERO on output, so MXU contractions over the
+    full 8-sublane tile are exact)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    L = jnp.zeros((8, 8), jnp.float32)
+    for k in range(6):
+        r = jax.lax.rsqrt(D8[k, k])
+        colk = jnp.where((rows >= k) & (rows < 6), D8[:, k : k + 1] * r, 0.0)
+        L = L + colk * (cols8 == k).astype(jnp.float32)
+        D8 = D8 - colk * colk.T
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    invL = jnp.zeros((8, 8), jnp.float32)
+    for i in range(6):
+        acc = jnp.zeros((1, 8), jnp.float32)
+        for k in range(i):
+            acc = acc + L[i, k] * invL[k : k + 1, :]
+        ei = (cols1 == i).astype(jnp.float32)
+        invL = invL + (rows == i).astype(jnp.float32) * ((ei - acc) / L[i, i])
+    return invL
+
+
+def _make_factor2_kernel(Pa: int, SB: int):
+    W6 = SB * 6
+    LW = 128  # lane-padded width: v2 requires W6 <= 128 (caller guards)
+
+    def kernel(band_ref, out_ref):
+        out_ref[:, :] = band_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W6 - 6, LW), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (W6 - 6, LW), 0)
+        dmask = []  # per block-row d >= 1: that block's rows, in-band lanes
+        for d in range(1, SB):
+            m = ((row // 6 == d - 1) & (lane < W6 - 6 * d)).astype(jnp.float32)
+            dmask.append(m)
+        def step(c, carry):
+            base = c * 6
+            # read 8 rows so every MXU dim is tile-exact; rows 6-7 belong to
+            # the next column and are killed by invL8's zero rows/cols
+            S8 = out_ref[pl.ds(base, 8), :]  # [8, LW]
+            invL8 = _chol8_inv(S8[0:8, 0:8])
+            LcT8 = jax.lax.dot_general(
+                invL8, S8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [8, LW]; rows 6-7 zero
+            # store rows (lanes 0:6 then hold inv(L_cc) for the solves)
+            # single full-width store; lanes 0:6 carry inv(L_cc) for the
+            # solves (narrow masked sub-stores miscompile on some Mosaic
+            # versions)
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LW), 1)
+            eye8 = (
+                lane8 == jax.lax.broadcasted_iota(jnp.int32, (8, LW), 0)
+            ).astype(jnp.float32)
+            inv_wide = jax.lax.dot_general(
+                invL8, eye8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [8, LW]: invL at lanes 0:8, zero elsewhere
+            keep = (lane8 < 6).astype(jnp.float32)
+            store = LcT8 * (1.0 - keep) + inv_wide * keep
+            out_ref[pl.ds(base, 6), :] = store[0:6, :]
+            # U = L L^T over the window (contract the 8 sublanes; the two
+            # zero rows contribute nothing)
+            U = jax.lax.dot_general(
+                LcT8, LcT8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [LW, LW]
+            # materialise the row-shifted view at sublane offset 0 first: a
+            # value slice at offset 6 feeding rolls miscompiles silently
+            Ut = pltpu.roll(U, LW - 6, axis=0)[0 : W6 - 6, :]
+            skew = None
+            for d in range(1, SB):
+                # shift row-block d left by 6d over the EXPLICIT 128-lane
+                # width (roll modulus must match the physical lanes); the
+                # wrap-around lands at lanes >= LW - 6d and is masked off
+                t = pltpu.roll(Ut, (LW - 6 * d) % LW, axis=1) * dmask[d - 1]
+                skew = t if skew is None else skew + t
+            tgt = out_ref[pl.ds(base + 6, W6 - 6), :]
+            out_ref[pl.ds(base + 6, W6 - 6), :] = tgt - skew
+            return carry
+
+        jax.lax.fori_loop(0, Pa, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("Pa", "SB", "interpret"))
+def band_factor2(band, Pa, SB, interpret=False):
+    """v2 factor: takes/returns the BLOCK-ROW band layout (same contract as
+    :func:`band_factor`); the scalar-band relayout happens in XLA around the
+    kernel (a ~2 MB 4D transpose)."""
+    rows = band.shape[0] // SB
+    W6 = SB * 6
+    assert W6 <= 128, "band_factor2 requires SB*6 <= 128 (use band_factor)"
+    b2 = (
+        band.reshape(rows, SB, 6, 6)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * 6, W6)
+    )
+    b2 = jnp.pad(b2, ((0, 0), (0, 128 - W6)))
+    with jax.enable_x64(False):
+        out2 = pl.pallas_call(
+            _make_factor2_kernel(Pa, SB),
+            out_shape=jax.ShapeDtypeStruct(b2.shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(b2)
+    return (
+        out2[:, :W6]
+        .reshape(rows, 6, SB, 6)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * SB, 36)
+    )

@@ -427,14 +427,17 @@ def _solve_reduced_blocks(
     target = jnp.float32 if (mixed and dtype == jnp.float64) else dtype
     off = brow != bcol
     if band is not None and target == jnp.float32:
-        from ..pallas.bandchol import band_factor, band_solve
+        from ..pallas.bandchol import band_factor, band_factor2, band_solve
 
         SB = band.sb
         band_arr = jnp.zeros(((Pa + SB) * SB, 36), jnp.float32)
         band_arr = band_arr.at[brow * SB + (bcol - brow)].set(
             bl_s.astype(jnp.float32)
         )
-        Lb = band_factor(band_arr, Pa, SB, band.bw)
+        if SB * 6 <= 128:
+            Lb = band_factor2(band_arr, Pa, SB)
+        else:
+            Lb = band_factor(band_arr, Pa, SB, band.bw)
 
         def tri_solve(r):
             x32 = band_solve(

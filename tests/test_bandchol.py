@@ -68,3 +68,16 @@ def test_band_nonspd_goes_nonfinite():
     L = band_factor(jnp.asarray(band), Pa, SB, bw, interpret=True)
     x = band_solve(L, jnp.asarray(b), Pa, SB, bw, interpret=True)
     assert not bool(np.all(np.isfinite(np.asarray(x))))
+
+
+def test_band_factor2_matches_v1():
+    from cuda_bundle_adjustment_tpu.pallas.bandchol import band_factor2
+
+    rng = np.random.default_rng(2)
+    Pa, bw, SB = 23, 4, 8
+    A, band = _random_banded_spd(Pa, bw, SB, rng)
+    L1 = np.asarray(band_factor(jnp.asarray(band), Pa, SB, bw, interpret=True))
+    L2 = np.asarray(band_factor2(jnp.asarray(band), Pa, SB, interpret=True))
+    np.testing.assert_allclose(
+        L2[: Pa * SB], L1[: Pa * SB], atol=1e-5 * max(np.abs(L1).max(), 1.0)
+    )
