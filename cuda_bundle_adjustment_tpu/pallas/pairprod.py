@@ -200,3 +200,186 @@ def schur_pair_rows(W, Hpl, plan, interpret: bool = False):
         out = oh.astype(dtype) + ol.astype(dtype)  # [npairs, 36, nc_pad]
         rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))
     return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# v2: W computed in-kernel from Hpl and inv(Hll)
+# ---------------------------------------------------------------------------
+#
+# The f64 materialisation of W = Hpl @ inv(Hll) costs a ~1 GB padded write
+# plus a transpose+split fusion per trial.  v2 keeps only Hpl (hi, lo) as
+# kernel input together with the per-landmark inv(Hll) (hi, lo), and builds
+# W in VMEM scratch once per chunk tile (at pair index 0; Mosaic scratch
+# persists across grid steps and the pair axis iterates fastest).
+
+
+def _make_kernel_v2(d: int, gc: int):
+    def kernel(a_lut, b_lut, hh_ref, hl_ref, ih_ref, il_ref, ohi, olo,
+               wh_s, wl_s):
+        p = pl.program_id(1)
+
+        @pl.when(p == 0)
+        def _():
+            # W[a][i, k] = sum_m Hpl[a][i, m] * invHll[m, k], double-float
+            for a in range(d):
+                for i in range(6):
+                    for k in range(3):
+                        Ph = None
+                        for m in range(3):
+                            xh = hh_ref[3 * i + m, a]
+                            xl = hl_ref[3 * i + m, a]
+                            yh = ih_ref[3 * m + k]
+                            yl = il_ref[3 * m + k]
+                            ph, pe = _df_mul(xh, xl, yh, yl)
+                            if Ph is None:
+                                Ph, Pl = ph, pe
+                            else:
+                                Ph, c = _two_sum(Ph, ph)
+                                Pl = Pl + (pe + c)
+                        h, l = _quick_two_sum(Ph, Pl)
+                        wh_s[3 * i + k, a] = h
+                        wl_s[3 * i + k, a] = l
+
+        a = a_lut[p]
+        b = b_lut[p]
+        w_rows = []
+        for r in range(18):
+            x = wh_s[r, a]
+            xh, xl = _split(x)
+            w_rows.append((x, xh, xl, wl_s[r, a]))
+        h_rows = []
+        for r in range(18):
+            x = hh_ref[r, b]
+            xh, xl = _split(x)
+            h_rows.append((x, xh, xl, hl_ref[r, b]))
+
+        for i in range(6):
+            for j in range(6):
+                P = None
+                E = None
+                for c in range(3):
+                    xa, ah, al, alo = w_rows[3 * i + c]
+                    xb, bh, bl, blo = h_rows[3 * j + c]
+                    pr = xa * xb
+                    e = ((ah * bh - _opaque(pr)) + ah * bl + al * bh) + al * bl
+                    e = e + (xa * blo + alo * xb)
+                    if P is None:
+                        P, E = pr, e
+                    else:
+                        P, carry = _two_sum(P, pr)
+                        E = E + (e + carry)
+                sh = gc // 2
+                while sh >= 1:
+                    rp = pltpu.roll(P, sh, axis=0)
+                    re = pltpu.roll(E, sh, axis=0)
+                    P, carry = _two_sum(P, rp)
+                    E = E + (re + carry)
+                    sh //= 2
+                hi, lo = _quick_two_sum(P, E)
+                ohi[0, 6 * i + j, :] = hi[0, :]
+                olo[0, 6 * i + j, :] = lo[0, :]
+
+    return kernel
+
+
+def _df_mul(ah, al, bh, bl):
+    p, e = _two_prod_df(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return p, e
+
+
+def _two_prod_df(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - _opaque(p)) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+@functools.partial(jax.jit, static_argnames=("d", "gc", "interpret"))
+def _pairprod_call_v2(hh, hl, ih, il, a_lut, b_lut, d, gc, interpret=False):
+    """Hpl splits [18, d, gc, nc_pad] + invHll splits [9, gc, nc_pad] f32;
+    outputs ([npairs, 36, nc_pad],) x 2."""
+    npairs = a_lut.shape[0]
+    nc_pad = hh.shape[-1]
+    grid = (nc_pad // TILE_N, npairs)
+
+    def h_map(n, p, al, bl):
+        return (0, 0, 0, n)
+
+    def i_map(n, p, al, bl):
+        return (0, 0, n)
+
+    def o_map(n, p, al, bl):
+        return (p, 0, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((18, d, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, d, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, gc, TILE_N), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, gc, TILE_N), i_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((18, d, gc, TILE_N), jnp.float32),
+            pltpu.VMEM((18, d, gc, TILE_N), jnp.float32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((npairs, 36, nc_pad), jnp.float32) for _ in range(2)
+    ]
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _make_kernel_v2(d, gc),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a_lut, b_lut, hh, hl, ih, il)
+
+
+def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
+    """Like :func:`schur_pair_rows` but W = Hpl @ inv(Hll) is formed inside
+    the kernel — no f64 W materialisation, no ib expansion.
+
+    ``Hpl``: [E', 18] f64; ``invHll``: [La, 9] f64 (landmark positions)."""
+    layout = plan.layout
+    dtype = Hpl.dtype
+    HT = Hpl[: layout.e_classes].T  # [18, e_classes]
+    hhi = HT.astype(jnp.float32)
+    hlo = (HT - hhi.astype(dtype)).astype(jnp.float32)
+    IT = invHll.T  # [9, La]
+    ihi = IT.astype(jnp.float32)
+    ilo = (IT - ihi.astype(dtype)).astype(jnp.float32)
+
+    rows = []
+    for ci, cm in enumerate(layout.classes):
+        span = cm.d * layout.gc * cm.nc_pad
+        shape = (18, cm.d, layout.gc, cm.nc_pad)
+        ch = jax.lax.slice_in_dim(
+            hhi, cm.e_start, cm.e_start + span, axis=1
+        ).reshape(shape)
+        chl = jax.lax.slice_in_dim(
+            hlo, cm.e_start, cm.e_start + span, axis=1
+        ).reshape(shape)
+        S = layout.gc * cm.nc_pad
+        ish = (9, layout.gc, cm.nc_pad)
+        cih = jax.lax.slice_in_dim(
+            ihi, cm.lm_start, cm.lm_start + S, axis=1
+        ).reshape(ish)
+        cil = jax.lax.slice_in_dim(
+            ilo, cm.lm_start, cm.lm_start + S, axis=1
+        ).reshape(ish)
+        oh, ol = _pairprod_call_v2(
+            ch, chl, cih, cil,
+            plan.class_a[ci], plan.class_b[ci],
+            cm.d, layout.gc, interpret=interpret,
+        )
+        out = oh.astype(dtype) + ol.astype(dtype)
+        rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))
+    return jnp.concatenate(rows, axis=0)

@@ -532,31 +532,23 @@ def schur_reduce(
     Hll_d = sys.Hll + lam * diag9
     invHll = flat_sym3x3_inv(Hll_d)  # [La,9] flat
 
-    # per-edge W = Hpl inv(Hll); zero rows for non-both-free edges keep the
-    # out-of-range gathers harmless (Hpl is already masked at assembly).
-    # ONE row gather of the combined [La,12] table instead of two — TPU
-    # gather cost is per-row, not per-byte.  Under the group layout the
-    # "gather" is d stacked slice copies per class: no gather at all.
-    tbl = jnp.concatenate([invHll, sys.bl], axis=1)  # [La,12]
-    if plan.layout is not None:
-        ib = _lm_slot_expand(tbl, plan)
-    else:
-        ib = tbl[plan.ba_lm_idx]  # [E,12]
-    W = flat_mm_6x3_3x3(sys.Hpl, ib[:, :9])  # [E,18]
-    bsc_rows = flat_mv_6x3(W, ib[:, 9:])
-    if plan.layout is not None:
-        bsc_rows = _pose_chunk_presum(bsc_rows, plan)
-    bsc = sys.bp - reduce_rows(bsc_rows, plan.bsc_plan)
-
-    # triple products Hsc[k] -= W[ei] Hpl[ej]^T.  Grouped path: dense
-    # double-float pair products per co-visibility chunk (pallas/pairprod.py)
-    # + one small reduction of the per-chunk rows; fallback: scatter-free
-    # bucketed batched contractions over all T triples (reference:
-    # one-thread-per-triple atomics, cuda_block_solver.cu:1327-1345)
+    # triple products Hsc[k] -= W[ei] Hpl[ej]^T with W = Hpl inv(Hll).
+    # Grouped kernel path: W forms INSIDE the pair-product kernel from Hpl
+    # and inv(Hll) splits (pallas/pairprod.py v2) — the ~1 GB padded f64 W
+    # array never materialises — and the bsc correction re-associates as
+    # Hpl @ (inv(Hll) bl) so it needs no W either.  Fallback: materialised
+    # W + scatter-free bucketed contractions over all T triples (reference:
+    # one-thread-per-triple atomics, cuda_block_solver.cu:1327-1345).
     if plan.layout is not None and plan.layout.use_kernel:
-        from ..pallas.pairprod import schur_pair_rows
+        from ..ops.components import flat_mv_3x3
+        from ..pallas.pairprod import schur_pair_rows_v2
 
-        rows = schur_pair_rows(W, sys.Hpl, plan)
+        y = flat_mv_3x3(invHll, sys.bl)  # [La,3] per-landmark inv(Hll) bl
+        bsc_rows = flat_mv_6x3(sys.Hpl, _lm_slot_expand(y, plan))
+        bsc = sys.bp - reduce_rows(
+            _pose_chunk_presum(bsc_rows, plan), plan.bsc_plan
+        )
+        rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)
         if plan.fix_rows is not None and plan.fix_rows.shape[0]:
             # pairs hitting a diagonal block via duplicate poses need the
             # transposed product added too (densify never mirrors the
@@ -569,6 +561,19 @@ def schur_reduce(
             )
         blocks = -reduce_rows(rows, plan.outk_plan)
     else:
+        # per-edge W; under the group layout the ib "gather" is d stacked
+        # slice copies per class, otherwise one row gather of the combined
+        # [La,12] table (TPU gather cost is per-row, not per-byte)
+        tbl = jnp.concatenate([invHll, sys.bl], axis=1)  # [La,12]
+        if plan.layout is not None:
+            ib = _lm_slot_expand(tbl, plan)
+        else:
+            ib = tbl[plan.ba_lm_idx]  # [E,12]
+        W = flat_mm_6x3_3x3(sys.Hpl, ib[:, :9])  # [E,18]
+        bsc_rows = flat_mv_6x3(W, ib[:, 9:])
+        if plan.layout is not None:
+            bsc_rows = _pose_chunk_presum(bsc_rows, plan)
+        bsc = sys.bp - reduce_rows(bsc_rows, plan.bsc_plan)
         blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
     return blocks, bsc, invHll

@@ -67,24 +67,28 @@ def test_kernel_path_matches_tri_path():
     import cuda_bundle_adjustment_tpu.pallas.pairprod as pp
 
     kplan = plan._replace(layout=plan.layout._replace(use_kernel=True))
-    orig = pp.schur_pair_rows
+    orig = pp.schur_pair_rows_v2
 
-    def interp_rows(W, Hpl, plan_, interpret=True):
-        return orig(W, Hpl, plan_, interpret=True)
+    def interp_rows(Hpl, invHll, plan_, interpret=True):
+        return orig(Hpl, invHll, plan_, interpret=True)
 
-    pp.schur_pair_rows = interp_rows
+    pp.schur_pair_rows_v2 = interp_rows
     try:
         got_blocks, got_bsc, _ = bs.schur_reduce(
             sys, lam, kplan, solver.Pa, solver.La, solver.schur.nnz_blocks
         )
     finally:
-        pp.schur_pair_rows = orig
+        pp.schur_pair_rows_v2 = orig
 
     scale = float(jnp.max(jnp.abs(ref_blocks)))
     np.testing.assert_allclose(
         np.asarray(got_blocks), np.asarray(ref_blocks), atol=2e-5 * scale
     )
-    np.testing.assert_allclose(np.asarray(got_bsc), np.asarray(ref_bsc))
+    # bsc re-associates as Hpl (invHll bl) on the kernel path
+    bscale = float(jnp.max(jnp.abs(ref_bsc)))
+    np.testing.assert_allclose(
+        np.asarray(got_bsc), np.asarray(ref_bsc), atol=1e-9 * bscale
+    )
 
 
 def test_result_landmarks_round_trip():
