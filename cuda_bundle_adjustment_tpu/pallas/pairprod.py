@@ -63,154 +63,17 @@ def _split(a):
     return hi, lo
 
 
-def _make_kernel(gc: int):
-    def kernel(a_lut, b_lut, whi, wlo, hhi, hlo, ohi, olo):
-        # blocks: whi/wlo/hhi/hlo [18, 1, gc, TILE_N] (slot pre-selected by
-        # the index maps); outputs [1, 36, TILE_N].
-        # Pre-split the 18 hi rows of each operand once (Dekker halves are
-        # reused across the 6 pairings each row participates in).
-        w_rows = []
-        for r in range(18):
-            a = whi[r, 0]
-            ah, al = _split(a)
-            w_rows.append((a, ah, al, wlo[r, 0]))
-        h_rows = []
-        for r in range(18):
-            b = hhi[r, 0]
-            bh, bl = _split(b)
-            h_rows.append((b, bh, bl, hlo[r, 0]))
-
-        for i in range(6):
-            for j in range(6):
-                # c-sum of three Dekker products, hi via two_sum chains,
-                # error terms in plain f32 (they are ~2^-24 of the hi terms)
-                P = None
-                E = None
-                for c in range(3):
-                    a, ah, al, alo = w_rows[3 * i + c]
-                    b, bh, bl, blo = h_rows[3 * j + c]
-                    p = a * b
-                    e = ((ah * bh - _opaque(p)) + ah * bl + al * bh) + al * bl
-                    e = e + (a * blo + alo * b)
-                    if P is None:
-                        P, E = p, e
-                    else:
-                        P, carry = _two_sum(P, p)
-                        E = E + (e + carry)
-                # sublane tree: every roll step folds rows r and r+sh; row 0
-                # ends with the full chunk sum (circular wrap only pollutes
-                # rows > 0, which are discarded)
-                sh = gc // 2
-                while sh >= 1:
-                    rp = pltpu.roll(P, sh, axis=0)
-                    re = pltpu.roll(E, sh, axis=0)
-                    P, carry = _two_sum(P, rp)
-                    E = E + (re + carry)
-                    sh //= 2
-                hi, lo = _quick_two_sum(P, E)
-                ohi[0, 6 * i + j, :] = hi[0, :]
-                olo[0, 6 * i + j, :] = lo[0, :]
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("d", "gc", "interpret"))
-def _pairprod_call(whi, wlo, hhi, hlo, a_lut, b_lut, d, gc, interpret=False):
-    """Inputs [18, d, gc, nc_pad] f32; outputs ([npairs, 36, nc_pad],) x 2."""
-    npairs = a_lut.shape[0]
-    nc_pad = whi.shape[-1]
-    grid = (nc_pad // TILE_N, npairs)
-
-    def w_map(n, p, al, bl):
-        return (0, al[p], 0, n)
-
-    def h_map(n, p, al, bl):
-        return (0, bl[p], 0, n)
-
-    def o_map(n, p, al, bl):
-        return (p, 0, n)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((18, 1, gc, TILE_N), w_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, 1, gc, TILE_N), w_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, 1, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, 1, gc, TILE_N), h_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 36, TILE_N), o_map, memory_space=pltpu.VMEM),
-        ],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((npairs, 36, nc_pad), jnp.float32) for _ in range(2)
-    ]
-    with jax.enable_x64(False):
-        return pl.pallas_call(
-            _make_kernel(gc),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(a_lut, b_lut, whi, wlo, hhi, hlo)
-
-
-def schur_pair_rows(W, Hpl, plan, interpret: bool = False):
-    """Grouped pair-product rows for all classes.
-
-    ``W``/``Hpl``: ``[E', 18]`` f64 per-edge blocks in group-layout order
-    (solver/groups.py).  Returns ``[n_out, 36]`` f64 rows ordered
-    (class, pair, chunk) matching ``GroupLayout.out_key``.
-    """
-    layout = plan.layout
-    dtype = W.dtype
-    WT = W[: layout.e_classes].T  # [18, e_classes]
-    HT = Hpl[: layout.e_classes].T
-    whi = WT.astype(jnp.float32)
-    wlo = (WT - whi.astype(dtype)).astype(jnp.float32)
-    hhi = HT.astype(jnp.float32)
-    hlo = (HT - hhi.astype(dtype)).astype(jnp.float32)
-
-    rows = []
-    for ci, cm in enumerate(layout.classes):
-        span = cm.d * layout.gc * cm.nc_pad
-        shape = (18, cm.d, layout.gc, cm.nc_pad)
-        cw = (
-            jax.lax.slice_in_dim(whi, cm.e_start, cm.e_start + span, axis=1)
-            .reshape(shape)
-        )
-        cwl = (
-            jax.lax.slice_in_dim(wlo, cm.e_start, cm.e_start + span, axis=1)
-            .reshape(shape)
-        )
-        ch = (
-            jax.lax.slice_in_dim(hhi, cm.e_start, cm.e_start + span, axis=1)
-            .reshape(shape)
-        )
-        chl = (
-            jax.lax.slice_in_dim(hlo, cm.e_start, cm.e_start + span, axis=1)
-            .reshape(shape)
-        )
-        oh, ol = _pairprod_call(
-            cw, cwl, ch, chl,
-            plan.class_a[ci], plan.class_b[ci],
-            cm.d, layout.gc, interpret=interpret,
-        )
-        out = oh.astype(dtype) + ol.astype(dtype)  # [npairs, 36, nc_pad]
-        rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))
-    return jnp.concatenate(rows, axis=0)
-
-
 # ---------------------------------------------------------------------------
-# v2: W computed in-kernel from Hpl and inv(Hll)
+# v2 kernel: W computed in-kernel from Hpl and inv(Hll)
 # ---------------------------------------------------------------------------
 #
-# The f64 materialisation of W = Hpl @ inv(Hll) costs a ~1 GB padded write
-# plus a transpose+split fusion per trial.  v2 keeps only Hpl (hi, lo) as
-# kernel input together with the per-landmark inv(Hll) (hi, lo), and builds
-# W in VMEM scratch once per chunk tile (at pair index 0; Mosaic scratch
-# persists across grid steps and the pair axis iterates fastest).
+# (A v1 kernel taking a pre-materialised W existed through round 1; the f64
+# materialisation of W = Hpl @ inv(Hll) costs a ~1 GB padded write plus a
+# transpose+split fusion per trial, so v2 replaced it and v1 was removed.)
+# v2 keeps only Hpl (hi, lo) as kernel input together with the per-landmark
+# inv(Hll) (hi, lo), and builds W in VMEM scratch once per chunk tile (at
+# pair index 0; Mosaic scratch persists across grid steps and the pair axis
+# iterates fastest).
 
 
 def _make_kernel_v2(d: int, gc: int):
@@ -344,10 +207,13 @@ def _pairprod_call_v2(hh, hl, ih, il, a_lut, b_lut, d, gc, interpret=False):
 
 
 def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
-    """Like :func:`schur_pair_rows` but W = Hpl @ inv(Hll) is formed inside
-    the kernel — no f64 W materialisation, no ib expansion.
+    """Grouped pair-product rows for all classes, W = Hpl @ inv(Hll) formed
+    inside the kernel — no f64 W materialisation, no ib expansion.
 
-    ``Hpl``: [E', 18] f64; ``invHll``: [La, 9] f64 (landmark positions)."""
+    ``Hpl``: [E', 18] f64 per-edge blocks in group-layout order
+    (solver/groups.py); ``invHll``: [La, 9] f64 (landmark positions).
+    Returns ``[n_out, 36]`` f64 rows ordered (class, pair, chunk) matching
+    ``GroupLayout.out_key``."""
     layout = plan.layout
     dtype = Hpl.dtype
     HT = Hpl[: layout.e_classes].T  # [18, e_classes]

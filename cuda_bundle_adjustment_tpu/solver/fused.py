@@ -131,7 +131,14 @@ def optimize_fused(
             bail = (~jnp.isfinite(lam_n)) | (Fdiff < 1e-4)
             stop_n = accept | bail
             q_n = jnp.where(stop_n, q, q + 1)
-            # new_state rides un-selected: consumed only after an accept
+            # INVARIANT: new_state rides un-selected (a tree-map select would
+            # copy ~120 MB per trial).  It is only consumed by the NEXT outer
+            # iteration's build_system, and the outer loop only continues
+            # after an ACCEPT: every non-accept exit also trips done_now in
+            # one_iteration (rho <= 0 < 1e-6, or non-finite lambda).  If the
+            # outer termination test ever changes so a rejected trial can be
+            # followed by another iteration, this carry must become
+            # jax.tree.map(where(accept, new_state, state_c)) like graph_n.
             return (graph_n, new_state, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
 
         init = (

@@ -153,7 +153,6 @@ def build_group_layout(
         chunk_of_group = member // gc  # chunk index *within* the group
         m = member % gc
         # global chunk ids: groups contribute ceil(G/gc) chunks each, in order
-        chunks_per_group = np.bincount(gid) // 1
         chunks_per_group = -(-np.bincount(gid) // gc)
         chunk_base = np.concatenate([[0], np.cumsum(chunks_per_group)])
         c = chunk_base[gid] + chunk_of_group
