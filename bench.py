@@ -1,64 +1,108 @@
-"""Benchmark: 10 LM iterations on a ba_kitti_00-scale BA graph, one TPU chip.
+"""Benchmark: 10 LM iterations on ba_kitti-scale BA graphs, one TPU chip.
 
 Mirrors the reference's de-facto benchmark (samples/sample_ba_from_file:
 warm-up with initialize+optimize(1), then time initialize+optimize(10);
 /root/reference/samples/sample_ba_from_file/main.cpp:167-190).  The KITTI BA
 JSON inputs are absent from the reference snapshot (ba_input.7z is a missing
-large blob), so the workload is a synthetic graph with ba_kitti_00's exact
-dimensions: P=1322 poses, L=133383 landmarks, E~561k mono edges.
+large blob), so the workloads are synthetic graphs with the reference
+datasets' exact dimensions (P=1322, L=133383, E~561k for ba_kitti_00).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = 1.23 / value (>1 means faster than the GTX-1080 reference,
-README.md:36).
+Default invocation prints ONE JSON line for the headline config
+(kitti00 mono, vs the 1.23 s GTX-1080 number, README.md:36).  Other BASELINE
+configs (stereo, mixed mono+stereo, kitti07, Huber/f32) run via
+``python bench.py <config>`` or all together via ``tools/bench_matrix.py``.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
+# (config name) -> (baseline seconds, builder)
+BASELINES = {
+    "kitti00_mono": 1.23,  # README.md:36, GTX 1080
+    "kitti00_stereo": 1.23,  # no published stereo number; same bar
+    "kitti00_mixed": 1.23,  # mono+stereo mixed input (main.cpp:121-165)
+    "kitti00_huber_f32": 1.23,  # USE_FLOAT32 + robust-kernel variant
+    "kitti07_mono": 0.23,  # README.md:35
+}
 
-def main() -> None:
+
+def make_problem(config: str):
+    from cuda_bundle_adjustment_tpu.io.synthetic import (
+        kitti00_scale_mixed_problem,
+        kitti00_scale_problem,
+        kitti07_scale_problem,
+    )
+
+    if config == "kitti00_mono":
+        return kitti00_scale_problem(kind="mono", seed=0), {}
+    if config == "kitti00_stereo":
+        return kitti00_scale_problem(kind="stereo", seed=0), {}
+    if config == "kitti00_mixed":
+        return kitti00_scale_mixed_problem(seed=0), {}
+    if config == "kitti00_huber_f32":
+        from cuda_bundle_adjustment_tpu.graph import GraphOptimisationOptions
+
+        return kitti00_scale_problem(kind="mono", seed=0), dict(
+            options=GraphOptimisationOptions(dtype="float32"),
+            rk=3,  # HUBER
+            delta=10.0,
+        )
+    if config == "kitti07_mono":
+        return kitti07_scale_problem(kind="mono", seed=0), {}
+    raise SystemExit(f"unknown config {config!r}; choose from {list(BASELINES)}")
+
+
+def run_config(config: str, niters: int = 10, repeats: int = 2) -> dict:
     import jax
 
     from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
-    from cuda_bundle_adjustment_tpu.io.synthetic import kitti00_scale_problem
 
-    problem = kitti00_scale_problem(kind="mono", seed=0)
+    problem, kwargs = make_problem(config)
 
     # warm-up: compiles every stage at the same static iteration count (the
     # reference also warm-ups, main.cpp:167; on TPU the compile is keyed on
-    # the iteration count of the fused loop, so warm up with the full 10)
-    opt = optimizer_from_problem(problem)
-    opt.optimize(10)
+    # the iteration count of the fused loop, so warm up with the full count)
+    opt = optimizer_from_problem(problem, **kwargs)
+    opt.optimize(niters)
     jax.block_until_ready(opt.solver.graph.q)
     _ = opt.batch_statistics().get()[-1].chi2  # force pipeline flush
 
-    # timed runs: fresh optimizer state each time, compiled code reused via
-    # the jit cache; report the best of two (the shared host shows ±0.2 s of
-    # CPU noise in the symbolic-analysis portion)
+    # timed runs: the clock covers initialize (packing + layout build) AND
+    # optimize, exactly like the reference benchmark's timed region
+    # (main.cpp:186-190 times initialize();optimize(10)).  Compiled code is
+    # reused via the jit cache; report the best of ``repeats`` (the shared
+    # host shows +-0.2 s of CPU noise in the symbolic-analysis portion).
     times = []
-    for _ in range(2):
-        opt = optimizer_from_problem(problem)
-        jax.block_until_ready(opt.solver.graph.q)
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        opt.optimize(10)
+        opt = optimizer_from_problem(problem, **kwargs)  # = initialize()
+        opt.optimize(niters)
         jax.block_until_ready(opt.solver.graph.q)
         _ = opt.batch_statistics().get()[-1].chi2  # force the pipeline
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
     trace = [s.chi2 for s in opt.batch_statistics().get()]
-    result = {
-        "metric": "ba_kitti00_scale_10_lm_iters",
+    assert trace[-1] <= trace[0], "chi2 did not decrease"
+    baseline = BASELINES[config]
+    return {
+        "metric": f"ba_{config}_10_lm_iters",
         "value": round(elapsed, 4),
         "unit": "s",
-        "vs_baseline": round(1.23 / elapsed, 4),
+        "vs_baseline": round(baseline / elapsed, 4),
     }
+
+
+def main() -> None:
+    config = sys.argv[1] if len(sys.argv) > 1 else "kitti00_mono"
+    result = run_config(config)
+    if config == "kitti00_mono":
+        # the driver-facing headline line keeps its historic metric name
+        result["metric"] = "ba_kitti00_scale_10_lm_iters"
     print(json.dumps(result))
-    # extra context on stderr-like secondary line is avoided: driver parses
-    # the single JSON line above; trace check goes to a comment field
-    assert trace[-1] <= trace[0], "chi2 did not decrease"
 
 
 if __name__ == "__main__":

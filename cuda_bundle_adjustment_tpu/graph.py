@@ -185,6 +185,22 @@ class VertexSet:
     def get_active_size(self) -> int:
         return self.active_size
 
+    def index_of_ids(self, ids):
+        """Vectorised vertex-id -> dense-index lookup (bulk edge packing)."""
+        import numpy as _np
+
+        n = len(self._vertices)
+        all_ids = _np.fromiter(self._vertices.keys(), dtype=_np.int64, count=n)
+        all_idx = _np.fromiter(
+            (v.index for v in self._vertices.values()), dtype=_np.int64, count=n
+        )
+        order = _np.argsort(all_ids)
+        sorted_ids = all_ids[order]
+        pos = _np.searchsorted(sorted_ids, _np.asarray(ids, dtype=_np.int64))
+        if _np.any(pos >= n) or _np.any(sorted_ids[_np.minimum(pos, n - 1)] != ids):
+            raise KeyError("edge references a vertex id not in the set")
+        return all_idx[order][pos]
+
     # camelCase aliases for users coming from the reference API
     addVertex = add_vertex
     getVertex = get_vertex
@@ -301,15 +317,77 @@ class EdgeSet:
         self._outlier_count = 0
         self._active_edge_size = 0
         self.is_dirty = True
+        # bulk storage (add_edges_bulk): SoA arrays instead of per-edge
+        # objects — the object API's answer to the reference's Arena pack
+        # speed (67.9 ms at 561k edges, README.md:118); per-edge Python
+        # objects cannot reach that, arrays can
+        self._bulk = None  # dict(meas, pose_id, lm_id, info, active) | None
 
     def add_edge(self, edge: BaseEdge) -> None:
         self.edges.append(edge)
+
+    def add_edges_bulk(
+        self,
+        measurements,
+        pose_ids,
+        landmark_ids=None,
+        information=None,
+    ) -> None:
+        """Bulk-append edges as arrays (no per-edge Python objects).
+
+        ``measurements [E, MDIM]``, ``pose_ids [E]`` (vertex ids into the
+        pose vertex set), ``landmark_ids [E]`` (ids into the landmark set;
+        omit for pose-only models), ``information [E]`` (optional; the
+        edge-set global is used otherwise).  Mixes with ``add_edge``; bulk
+        edges cannot be individually inactivated from the object API but are
+        subject to outlier thresholding like any other edge.
+        """
+        import numpy as _np
+
+        meas = _np.asarray(measurements, dtype=_np.float64)
+        E = meas.shape[0]
+        pose_ids = _np.asarray(pose_ids, dtype=_np.int64)
+        lm_ids = (
+            _np.zeros(E, dtype=_np.int64)
+            if landmark_ids is None
+            else _np.asarray(landmark_ids, dtype=_np.int64)
+        )
+        info = (
+            None
+            if information is None
+            else _np.asarray(information, dtype=_np.float64)
+        )
+        new = dict(
+            meas=meas, pose_id=pose_ids, lm_id=lm_ids, info=info,
+            active=_np.ones(E, dtype=bool),
+        )
+        if self._bulk is None:
+            self._bulk = new
+        else:
+            b = self._bulk
+            if (b["info"] is None) != (info is None):
+                ones = lambda n: _np.ones(n, dtype=_np.float64)
+                b["info"] = (
+                    ones(b["meas"].shape[0]) * self.information
+                    if b["info"] is None
+                    else b["info"]
+                )
+                new["info"] = info if info is not None else ones(E) * self.information
+            self._bulk = {
+                k: (
+                    None
+                    if b[k] is None
+                    else _np.concatenate([b[k], new[k]])
+                )
+                for k in b
+            }
 
     def remove_edge(self, edge: BaseEdge) -> None:
         self.edges.remove(edge)
 
     def nedges(self) -> int:
-        return len(self.edges)
+        nb = 0 if self._bulk is None else self._bulk["meas"].shape[0]
+        return len(self.edges) + nb
 
     def nactive_edges(self) -> int:
         return self._active_edge_size

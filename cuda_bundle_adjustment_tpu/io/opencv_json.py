@@ -20,7 +20,7 @@ import numpy as np
 
 from ..graph import Camera, LandmarkVertex, LandmarkVertexSet, PoseVertex, PoseVertexSet, Se3
 from ..models import MonoEdge, MonoEdgeSet, StereoEdge, StereoEdgeSet
-from .synthetic import BAProblem
+from .synthetic import BAProblem, MixedBAProblem
 
 
 def _strip_comments(text: str) -> str:
@@ -138,8 +138,15 @@ def write_graph(
         json.dump(doc, f)
 
 
-def read_problem(path: str, kind: Optional[str] = None) -> BAProblem:
-    """Load a graph file directly into packed arrays (active-first layout)."""
+def read_problem(path: str, kind: Optional[str] = None):
+    """Load a graph file directly into packed arrays (active-first layout).
+
+    Returns a :class:`~.synthetic.BAProblem` when the file carries ONE edge
+    list (or ``kind`` selects one), and a :class:`~.synthetic.MixedBAProblem`
+    with every edge list present otherwise — the reference's real inputs
+    carry both mono and stereo edges (sample_ba_from_file/main.cpp:121-165)
+    and nothing may be dropped.
+    """
     with open(path) as f:
         doc = json.loads(_strip_comments(f.read()))
 
@@ -163,25 +170,51 @@ def read_problem(path: str, kind: Optional[str] = None) -> BAProblem:
         [doc.get(k, 0.0) for k in ("fx", "fy", "cx", "cy", "bf")], dtype=np.float64
     )
 
-    if kind is None:
-        kind = "mono" if doc.get("monocular_edges") else "stereo"
-    key = "monocular_edges" if kind == "mono" else "stereo_edges"
-    nodes = doc.get(key, [])
-    meas = np.array([n["measurement"] for n in nodes], dtype=np.float64)
-    pose_idx = np.array([pose_index[int(n["vertexP"])] for n in nodes], dtype=np.int32)
-    lm_idx = np.array([lm_index[int(n["vertexL"])] for n in nodes], dtype=np.int32)
-    omega = np.array([n.get("information", 1.0) for n in nodes], dtype=np.float64)
+    def _spec(k: str, nodes) -> dict:
+        return dict(
+            kind=k,
+            meas=np.array([n["measurement"] for n in nodes], dtype=np.float64),
+            pose_idx=np.array(
+                [pose_index[int(n["vertexP"])] for n in nodes], dtype=np.int32
+            ),
+            lm_idx=np.array(
+                [lm_index[int(n["vertexL"])] for n in nodes], dtype=np.int32
+            ),
+            omega=np.array(
+                [n.get("information", 1.0) for n in nodes], dtype=np.float64
+            ),
+            cam=cam,
+        )
 
+    lists = {
+        "mono": doc.get("monocular_edges", []),
+        "stereo": doc.get("stereo_edges", []),
+    }
+    present = [k for k, v in lists.items() if v]
+    if kind is None and len(present) > 1:
+        return MixedBAProblem(
+            pose_q=pose_q,
+            pose_t=pose_t,
+            num_active_poses=len(p_act),
+            landmarks=landmarks,
+            num_active_landmarks=len(l_act),
+            cam=cam,
+            specs=tuple(_spec(k, lists[k]) for k in present),
+        )
+
+    if kind is None:
+        kind = present[0] if present else "mono"
+    s = _spec(kind, lists[kind])
     return BAProblem(
         pose_q=pose_q,
         pose_t=pose_t,
         num_active_poses=len(p_act),
         landmarks=landmarks,
         num_active_landmarks=len(l_act),
-        meas=meas,
-        pose_idx=pose_idx,
-        lm_idx=lm_idx,
-        omega=omega,
+        meas=s["meas"],
+        pose_idx=s["pose_idx"],
+        lm_idx=s["lm_idx"],
+        omega=s["omega"],
         cam=cam,
         kind=kind,
     )

@@ -32,6 +32,20 @@ class BAProblem(NamedTuple):
     kind: str  # "mono" | "stereo" | "depth"
 
 
+class MixedBAProblem(NamedTuple):
+    """A BA problem with SEVERAL edge sets over shared vertices — the shape
+    of the reference's real inputs, which carry both a monocular and a
+    stereo edge list (samples/sample_ba_from_file/main.cpp:121-165)."""
+
+    pose_q: np.ndarray  # [P, 4]
+    pose_t: np.ndarray  # [P, 3]
+    num_active_poses: int
+    landmarks: np.ndarray  # [L, 3]
+    num_active_landmarks: int
+    cam: np.ndarray  # [5]
+    specs: tuple  # per edge set: dict(kind, meas, pose_idx, lm_idx, omega)
+
+
 DEFAULT_CAM = np.array([718.856, 718.856, 607.1928, 185.2157, 386.1448], dtype=np.float64)
 
 
@@ -161,6 +175,44 @@ def make_ba_problem(
     )
 
 
+def make_mixed_ba_problem(
+    stereo_fraction: float = 0.5, seed: int = 0, **kwargs
+) -> MixedBAProblem:
+    """Mono + stereo edge sets over one vertex set: generate a stereo
+    problem and demote a random subset of observations to mono (dropping
+    the disparity component), mirroring real VSLAM inputs where only some
+    features carry stereo matches."""
+    p = make_ba_problem(kind="stereo", seed=seed, **kwargs)
+    rng = np.random.default_rng(seed + 1)
+    E = p.meas.shape[0]
+    is_stereo = rng.random(E) < stereo_fraction
+    mono = dict(
+        kind="mono",
+        meas=p.meas[~is_stereo][:, :2],
+        pose_idx=p.pose_idx[~is_stereo],
+        lm_idx=p.lm_idx[~is_stereo],
+        omega=p.omega[~is_stereo],
+        cam=p.cam,
+    )
+    stereo = dict(
+        kind="stereo",
+        meas=p.meas[is_stereo],
+        pose_idx=p.pose_idx[is_stereo],
+        lm_idx=p.lm_idx[is_stereo],
+        omega=p.omega[is_stereo],
+        cam=p.cam,
+    )
+    return MixedBAProblem(
+        pose_q=p.pose_q,
+        pose_t=p.pose_t,
+        num_active_poses=p.num_active_poses,
+        landmarks=p.landmarks,
+        num_active_landmarks=p.num_active_landmarks,
+        cam=p.cam,
+        specs=(mono, stereo),
+    )
+
+
 def kitti00_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
     """A problem with ba_kitti_00's dimensions (README.md:36).
 
@@ -179,6 +231,20 @@ def kitti00_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
     )
 
 
+def kitti00_scale_mixed_problem(seed: int = 0) -> MixedBAProblem:
+    """ba_kitti_00 dimensions with BOTH mono and stereo edge sets — the
+    reference's real input shape (main.cpp:121-165)."""
+    return make_mixed_ba_problem(
+        num_poses=1322,
+        num_landmarks=133383,
+        mean_obs_per_landmark=561116 / 133383,
+        landmark_noise=0.01,
+        pose_noise=0.0005,
+        stereo_fraction=0.5,
+        seed=seed,
+    )
+
+
 def kitti07_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
     """A problem with ba_kitti_07's dimensions (README.md:35)."""
     return make_ba_problem(
@@ -187,6 +253,55 @@ def kitti07_scale_problem(kind: str = "mono", seed: int = 0) -> BAProblem:
         mean_obs_per_landmark=95037 / 26127,
         kind=kind,
         seed=seed,
+    )
+
+
+def make_loop_closure_problem(
+    num_poses: int = 5000,
+    num_landmarks: int = 50_000,
+    mean_obs_per_landmark: float = 4.0,
+    long_range_fraction: float = 0.05,
+    kind: str = "mono",
+    seed: int = 0,
+) -> BAProblem:
+    """A trajectory graph where a fraction of landmarks is re-observed by a
+    RANDOM far-away pose — long-range co-visibility that defeats any banded
+    ordering (the workload class the reference handles with METIS + general
+    sparse Cholesky, cholesky.hpp:292-297; here it exercises the RCM->PCG
+    fallback chain)."""
+    p = make_ba_problem(
+        num_poses=num_poses,
+        num_landmarks=num_landmarks,
+        mean_obs_per_landmark=mean_obs_per_landmark,
+        kind=kind,
+        seed=seed,
+        landmark_noise=0.01,
+        pose_noise=0.0005,
+    )
+    rng = np.random.default_rng(seed + 7)
+    L = p.landmarks.shape[0]
+    lc = np.nonzero(rng.random(L) < long_range_fraction)[0]
+    far_pose = rng.integers(0, p.pose_q.shape[0], size=lc.size)
+    # project the (estimated) landmark into the far pose for a consistent
+    # extra measurement
+    q = p.pose_q[far_pose]
+    t = p.pose_t[far_pose]
+    Xc = _quat_rotate_np(q, p.landmarks[lc]) + t
+    ok = Xc[:, 2] > 1.0
+    lc, far_pose, Xc = lc[ok], far_pose[ok], Xc[ok]
+    cam = p.cam
+    inv_z = 1.0 / Xc[:, 2]
+    u = cam[0] * Xc[:, 0] * inv_z + cam[2]
+    v = cam[1] * Xc[:, 1] * inv_z + cam[3]
+    if kind == "mono":
+        meas = np.stack([u, v], axis=-1)
+    else:
+        meas = np.stack([u, v, u - cam[4] * inv_z], axis=-1)
+    return p._replace(
+        meas=np.concatenate([p.meas, meas], axis=0),
+        pose_idx=np.concatenate([p.pose_idx, far_pose.astype(np.int32)]),
+        lm_idx=np.concatenate([p.lm_idx, lc.astype(np.int32)]),
+        omega=np.concatenate([p.omega, np.ones(lc.size)]),
     )
 
 

@@ -134,6 +134,10 @@ def _chi_projective(kind, graph, data, rk, delta, pose_state=None):
     R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
     e = tuple(jnp.where(mask, c, 0.0) for c in e)
+    if data.mask3 is not None:
+        # merged mono+stereo set: mono rows (mask3 = 0) drop the third
+        # residual component, which makes the stereo math EXACTLY mono's
+        e = e[:2] + (e[2] * data.mask3,)
     x = data.omega * sum(c * c for c in e)
     return robustify(rk, delta, x) * data.active
 
@@ -144,9 +148,18 @@ def _terms_projective(
     R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
     e = tuple(jnp.where(mask, c, 0.0) for c in e)
+    if data.mask3 is not None:
+        e = e[:2] + (e[2] * data.mask3,)
     x = data.omega * sum(c * c for c in e)
     w = data.omega * robust_derivative(rk, delta, x) * data.active
     JP, JL = jac_fn(Xc, R, cam, inv_z)
+    if data.mask3 is not None:
+        # zero the third Jacobian row too: J^T J and J^T e then reduce to
+        # the mono quadratic form for mono rows
+        m3 = data.mask3
+        JP = (JP[0], JP[1], tuple(m3 * c for c in JP[2]))
+        if JL is not None:
+            JL = (JL[0], JL[1], tuple(m3 * c for c in JL[2]))
     pose_stack, lm_stack, hpl = C.weighted_block_stacks(JP, JL, e, w)
     both_free = (w * data.free_p * data.free_l)[..., None]
     if with_chi:

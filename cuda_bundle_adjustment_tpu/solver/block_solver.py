@@ -97,6 +97,90 @@ class SchurPlan(NamedTuple):
     lm_extra_pos: object = None  # int32 [n_extras] landmark position per extra
     band: object = None  # BandMeta | None: banded Hsc -> Pallas band solver
     chunk_pose: object = None  # int32 [M] pose per (class, slot, chunk) row
+    pcg: object = None  # PcgPlan | None: wide-pattern fallback (solver/pcg.py)
+
+
+def _merge_ba_specs(edge_specs):
+    """Merge mono+stereo edge specs into one masked stereo spec.
+
+    The mono Jacobian/residual is exactly the stereo model's rows 0-1, so a
+    per-edge third-component mask (``PackedEdges.mask3``) makes one stereo
+    set bit-equivalent to running both sets — and a SINGLE set is what the
+    co-visibility group layout requires (solver/groups.py).  Specs with
+    differing robust kernels keep the unmerged slow path.
+    """
+    kinds = [s["kind"] for s in edge_specs]
+    if (
+        len(edge_specs) < 2
+        or not all(k in ("mono", "stereo") for k in kinds)
+        or len({(s.get("rk", 0), s.get("delta", 1.0)) for s in edge_specs}) != 1
+    ):
+        return edge_specs
+
+    meas_p, mask_p, omega_p, cam_p, pi_p, li_p, act_p = [], [], [], [], [], [], []
+    thr = []
+    for s in edge_specs:
+        meas = np.asarray(s["meas"], dtype=np.float64)
+        E = meas.shape[0]
+        if s["kind"] == "mono":
+            meas = np.concatenate([meas, np.zeros((E, 1))], axis=1)
+            mask_p.append(np.zeros(E))
+        else:
+            mask_p.append(np.ones(E))
+        meas_p.append(meas)
+        omega_p.append(np.broadcast_to(np.asarray(s["omega"], np.float64), (E,)))
+        cam = np.asarray(s.get("cam", np.zeros(5)), dtype=np.float64)
+        cam_p.append(np.broadcast_to(cam.reshape(-1, 5), (E, 5)))
+        pi_p.append(np.asarray(s["pose_idx"]))
+        li_p.append(np.asarray(s["lm_idx"]))
+        act = s.get("active")
+        act_p.append(
+            np.ones(E) if act is None else np.asarray(act, dtype=np.float64)
+        )
+        t = s.get("outlier_threshold", 0.0)
+        thr.append((np.asarray(t, dtype=np.float64), E))
+    merged = dict(
+        kind="stereo",
+        meas=np.concatenate(meas_p, axis=0),
+        pose_idx=np.concatenate(pi_p),
+        lm_idx=np.concatenate(li_p),
+        omega=np.concatenate(omega_p),
+        cam=np.concatenate(cam_p, axis=0),
+        rk=edge_specs[0].get("rk", 0),
+        delta=edge_specs[0].get("delta", 1.0),
+        mask3=np.concatenate(mask_p),
+        active=np.concatenate(act_p),
+        merged_sizes=tuple(E for _, E in thr),  # un-merge map for write-backs
+    )
+    if any(np.any(t > 0) for t, _ in thr):
+        merged["outlier_threshold"] = np.concatenate(
+            [np.broadcast_to(t, (E,)) for t, E in thr]
+        )
+    return [merged]
+
+
+def _resolve_schur_plan(plan: SchurPlan) -> SchurPlan:
+    """Materialise deferred :class:`~.segments.UploadPool` handles (the plan
+    is built against a pool so all its int32 arrays ride ONE upload)."""
+    from .segments import BucketPlan, _Handle, _resolve_plan
+
+    from .pcg import PcgPlan
+
+    def fix(v):
+        if isinstance(v, _Handle):
+            return v.get()
+        if isinstance(v, BucketPlan):
+            return _resolve_plan(v)
+        if isinstance(v, PcgPlan):
+            return PcgPlan(
+                *(x.get() if isinstance(x, _Handle) else x for x in v[:4]),
+                v.nch,
+            )
+        if isinstance(v, tuple) and any(isinstance(x, _Handle) for x in v):
+            return tuple(x.get() if isinstance(x, _Handle) else x for x in v)
+        return v
+
+    return SchurPlan(**{k: fix(v) for k, v in plan._asdict().items()})
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +481,7 @@ def _solve_reduced_blocks(
     row_plan=None,
     col_plan=None,
     band: Optional[BandMeta] = None,
+    pcg=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve ``Hsc xp = bsc`` given Hsc as flat upper-tri 6x6 blocks, without
     ever materialising a dense f64 matrix (one f64 dense copy of KITTI-00's
@@ -416,6 +501,15 @@ def _solve_reduced_blocks(
     Pa = num_active_poses
     dtype = blocks.dtype
     nnz = blocks.shape[0]
+
+    if band is None and pcg is not None:
+        # wide sparsity at scale: preconditioned CG on the flat blocks —
+        # O(nnz) memory where the dense build would be O(Pa^2)
+        # (the role of the reference's general sparse Cholesky,
+        # cholesky.hpp:292-297)
+        from .pcg import solve_blocks_pcg
+
+        return solve_blocks_pcg(blocks, bsc, Pa, brow, bcol, diag_pos, pcg)
 
     # symmetric Jacobi scaling: BA Hessian diagonals span many orders of
     # magnitude (focal-length-squared pixel terms vs unit-metric terms)
@@ -638,7 +732,7 @@ def solve_schur(
     blocks, bsc, invHll = schur_reduce(sys, lam, plan, Pa, La, nnz_blocks)
     xp, success = _solve_reduced_blocks(
         blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
-        plan.blk_row_plan, plan.blk_col_plan, plan.band,
+        plan.blk_row_plan, plan.blk_col_plan, plan.band, plan.pcg,
     )
     xl = schur_back_substitute(sys, invHll, xp, plan, Pa)
     return xp, xl, success
@@ -719,17 +813,26 @@ class BlockSolver:
         self.do_schur = False
         self.schur: Optional[SchurStructure] = None
         self.plan: Optional[SchurPlan] = None
+        self.pose_perm = None  # RCM pose order (array path); None = identity
         self.symbolic_ms = 0.0
         self._fns = None
         self._pose_set: Optional[PoseVertexSet] = None
         self._lm_set: Optional[LandmarkVertexSet] = None
         self._edge_sets: list[EdgeSet] = []
         self._host_idx: list[tuple[np.ndarray, np.ndarray]] = []
+        self._spec_thresholds: list = []  # array path: per-spec outlier thr
+        self._outlier_counts: list[int] = []
+        self._merged_sizes: list = []  # per packed spec: pre-merge set sizes
 
     # -- packing ------------------------------------------------------------
 
     def initialize(self, edge_sets: Sequence[EdgeSet], vertex_sets) -> None:
-        """Pack the host graph into device arrays (stage "0: Initialize")."""
+        """Pack the host graph into device arrays (stage "0: Initialize").
+
+        Routes through :meth:`initialize_from_arrays` so object-API graphs
+        get the same fast path as array problems — co-visibility group
+        layout, RCM ordering, mono+stereo merging (round 1 built the layout
+        only for array inputs)."""
         pose_sets = [v for v in vertex_sets if not v.is_marginilised()]
         lm_sets = [v for v in vertex_sets if v.is_marginilised()]
         if len(pose_sets) != 1 or len(lm_sets) > 1:
@@ -737,42 +840,35 @@ class BlockSolver:
                 "BlockSolver supports exactly one pose vertex set and at most "
                 "one landmark vertex set"
             )
-        self._pose_set = pose_sets[0]
-        self._lm_set = lm_sets[0] if lm_sets else None
-        self._edge_sets = [es for es in edge_sets if es.nedges() > 0]
+        pose_set = pose_sets[0]
+        lm_set = lm_sets[0] if lm_sets else None
+        live_sets = [es for es in edge_sets if es.nedges() > 0]
 
-        self._pose_set.generate_estimate_data()
-        q, t = self._pose_set.estimates_array()
-        self.P = q.shape[0]
-        self.Pa = self._pose_set.get_active_size()
+        pose_set.generate_estimate_data()
+        q, t = pose_set.estimates_array()
+        Pa = pose_set.get_active_size()
 
-        if self._lm_set is not None and len(self._lm_set) > 0:
-            self._lm_set.generate_estimate_data()
-            Xw = self._lm_set.estimates_array()
-            self.L = Xw.shape[0]
-            self.La = self._lm_set.get_active_size()
+        if lm_set is not None and len(lm_set) > 0:
+            lm_set.generate_estimate_data()
+            Xw = lm_set.estimates_array()
+            La = lm_set.get_active_size()
         else:
             Xw = np.zeros((0, 3), dtype=np.float64)
-            self.L = self.La = 0
-        self.La_real = self.La
-        self.group_layout = None
+            La = 0
 
-        self.do_schur = self.La > 0
-        dt = self.dtype
-        self.graph = GraphArrays(
-            q=jnp.asarray(q, dt), t=jnp.asarray(t, dt), Xw=jnp.asarray(Xw, dt)
+        # the spec builder reads the vertex sets for bulk id lookups
+        self._pose_set = pose_set
+        self._lm_set = lm_set
+        specs = [self._spec_from_edge_set(es) for es in live_sets]
+        self.initialize_from_arrays(
+            pose_q=q, pose_t=t, num_active_poses=Pa,
+            landmarks=Xw, num_active_landmarks=La, edge_specs=specs,
         )
-
-        packed, metas = [], []
-        self._host_idx = []
-        for es in self._edge_sets:
-            data, meta, hidx = self._pack_edge_set(es)
-            packed.append(data)
-            metas.append(meta)
-            self._host_idx.append(hidx)
-        self.packed = tuple(packed)
-        self.metas = tuple(metas)
-        self._fns = None  # force recompile on new structure
+        # restore the object references initialize_from_arrays cleared so
+        # finalize()/update_edges() can write back into the graph objects
+        self._pose_set = pose_set
+        self._lm_set = lm_set
+        self._edge_sets = live_sets
 
     def initialize_from_arrays(
         self,
@@ -793,7 +889,16 @@ class BlockSolver:
         self._lm_set = None
         self._edge_sets = []
         self._host_idx = []
+        self._spec_thresholds = []
+        self._outlier_counts = []
+        self._merged_sizes = []
         dt = self.dtype
+
+        # mono+stereo sets merge into ONE masked stereo set so the
+        # co-visibility group layout (and with it the whole fast path)
+        # covers the reference's real input shape — both edge lists at once
+        # (samples/sample_ba_from_file/main.cpp:121-165)
+        edge_specs = _merge_ba_specs(edge_specs)
 
         self.P = pose_q.shape[0]
         self.Pa = int(num_active_poses)
@@ -803,6 +908,43 @@ class BlockSolver:
         self.group_layout = None
         self.do_schur = self.La > 0
         landmarks = np.asarray(landmarks, dtype=np.float64).reshape(-1, 3)
+
+        # bandwidth-reducing pose ordering (solver/ordering.py): loop-closure
+        # graphs regain the banded fast solve; trajectory graphs keep the
+        # identity order (bit-exact traces unchanged)
+        self.pose_perm = None
+        if self.La > 0 and all(
+            MODEL_REGISTRY[sp["kind"]].HAS_LANDMARK for sp in edge_specs
+        ):
+            from .ordering import plan_pose_order
+
+            all_pi = np.concatenate(
+                [np.asarray(sp["pose_idx"]) for sp in edge_specs]
+            )
+            all_li = np.concatenate(
+                [np.asarray(sp["lm_idx"]) for sp in edge_specs]
+            )
+            perm, bw0, bw1 = plan_pose_order(all_pi, all_li, self.Pa, self.La)
+            if perm is not None:
+                self.pose_perm = perm  # perm[i] = old pose at new position i
+                new_of_old = np.empty(self.Pa, dtype=np.int64)
+                new_of_old[perm] = np.arange(self.Pa)
+                pose_q = np.concatenate(
+                    [np.asarray(pose_q)[perm], np.asarray(pose_q)[self.Pa :]]
+                )
+                pose_t = np.concatenate(
+                    [np.asarray(pose_t)[perm], np.asarray(pose_t)[self.Pa :]]
+                )
+                remapped = []
+                for sp in edge_specs:
+                    pi = np.asarray(sp["pose_idx"], dtype=np.int64)
+                    pi = np.where(
+                        pi < self.Pa,
+                        new_of_old[np.minimum(pi, self.Pa - 1)],
+                        pi,
+                    )
+                    remapped.append(dict(sp, pose_idx=pi))
+                edge_specs = remapped
 
         # co-visibility group layout (solver/groups.py): reorders edges
         # slot-major and renumbers free landmarks so every landmark-indexed
@@ -852,7 +994,14 @@ class BlockSolver:
             cam = np.asarray(spec.get("cam", np.zeros(5)), dtype=np.float64)
             if cam.ndim == 1:
                 cam = cam.reshape(1, 5)
-            active = np.ones(E, dtype=np.float64)
+            mask3 = spec.get("mask3")
+            if mask3 is not None:
+                mask3 = np.asarray(mask3, dtype=np.float64)
+            thr = spec.get("outlier_threshold", 0.0)
+            active = np.asarray(
+                spec.get("active", np.ones(E)), dtype=np.float64
+            )
+            self._merged_sizes.append(spec.get("merged_sizes"))
             # uniform omega / camera collapse to broadcastable single rows —
             # the device arrays stay [1] / [5,1] and never pay the ~44 MB
             # upload (the reference's global-vs-per-edge trade,
@@ -878,10 +1027,17 @@ class BlockSolver:
                     omega = _take(omega)
                 if cam.shape[0] > 1:
                     cam = _take(cam)
+                if mask3 is not None:
+                    mask3 = _take(mask3)
+                if isinstance(thr, np.ndarray):
+                    thr = _take(thr)
                 active = _take(active)
-                # dummy rows: pose sentinel Pa (out of the active range; the
-                # one-hot expansion maps out-of-window to zero), landmark id =
-                # the slot's own position so landmark windows stay tight
+                # dummy rows: pose sentinel Pa — NOTE the safety here comes
+                # from the active=0/free_p=0 masks zeroing every downstream
+                # contribution, NOT from the one-hot window (when P <= 8192
+                # the window covers the whole table, so index Pa reads the
+                # first FIXED pose's real state).  Landmark id = the slot's
+                # own position so landmark windows stay tight
                 pose_idx = _take(pose_idx).astype(np.int32)
                 pose_idx[dummy] = self.Pa
                 new_lm = np.where(
@@ -912,6 +1068,7 @@ class BlockSolver:
                 free_p=jnp.asarray((pose_idx < self.Pa).astype(np.float64), dt),
                 free_l=jnp.asarray((lm_idx < self.La).astype(np.float64), dt),
                 active=jnp.asarray(active, dt),
+                mask3=None if mask3 is None else jnp.asarray(mask3, dt),
             )
             meta = EdgeSetMeta(
                 kind=kind,
@@ -923,51 +1080,33 @@ class BlockSolver:
             )
             packed.append(data)
             metas.append(meta)
+            self._spec_thresholds.append(thr)
             self._host_idx.append((pose_idx, lm_idx))
         self.packed = tuple(packed)
         self.metas = tuple(metas)
         self._fns = None
 
-    def _pack_edge_set(
-        self, es: EdgeSet
-    ) -> tuple[PackedEdges, EdgeSetMeta, tuple[np.ndarray, np.ndarray]]:
-        """Pack one edge set to struct-of-arrays (the Arena-upload analogue,
-        optimisable_graph.hpp:475-601).  Edges whose vertices are all fixed are
-        dropped; others keep a float ``active`` mask."""
-        model = MODEL_REGISTRY[es.KIND]
+    def _spec_from_edge_set(self, es: EdgeSet) -> dict:
+        """Build an array spec from an object edge set (the Arena-pack
+        analogue, optimisable_graph.hpp:475-601).  Per-edge objects are
+        extracted row by row; ``add_edges_bulk`` data passes straight
+        through (vectorised id -> index lookup)."""
         opts = self.options
 
-        rows = []
-        for edge in es.edges:
-            if es.NVERTS == 1:
-                if edge.vertices[0].fixed:
-                    continue
-            else:
-                if edge.vertices[0].fixed and edge.vertices[1].fixed:
-                    continue
-            rows.append(edge)
-        E = len(rows)
-        es._active_edge_size = E
-
+        E_obj = len(es.edges)
         if es.KIND in ("mono", "stereo", "depth"):
             K = es.MDIM
-            meas = np.zeros((E, K), dtype=np.float64)
-            for i, edge in enumerate(rows):
-                meas[i] = np.asarray(edge.measurement, dtype=np.float64).reshape(K)
+            meas_obj = np.zeros((E_obj, K), dtype=np.float64)
+            for i, edge in enumerate(es.edges):
+                meas_obj[i] = np.asarray(
+                    edge.measurement, dtype=np.float64
+                ).reshape(K)
         else:
-            vecs = [e.measurement.to_vec() for e in rows]
-            meas = (
-                np.stack(vecs, axis=0)
-                if vecs
-                else np.zeros((0, 10 if es.KIND == "line" else 7))
+            vecs = [e.measurement.to_vec() for e in es.edges]
+            K = 10 if es.KIND == "line" else 7
+            meas_obj = (
+                np.stack(vecs, axis=0) if vecs else np.zeros((0, K))
             )
-
-        omega = np.empty(E, dtype=np.float64)
-        cam = np.empty((E, 5), dtype=np.float64)
-        pose_idx = np.empty(E, dtype=np.int32)
-        lm_idx = np.zeros(E, dtype=np.int32)
-        free_p = np.empty(E, dtype=np.float64)
-        free_l = np.zeros(E, dtype=np.float64)
 
         # Guard against the silent degenerate system the reference only
         # half-protects against (optimisable_graph.hpp:478-482 asserts the
@@ -975,10 +1114,10 @@ class BlockSolver:
         # is ignored, so a zero edge-set information plus non-zero per-edge
         # values means the user forgot ``per_edge_information=True``.
         if (
-            E > 0
+            E_obj > 0
             and not opts.per_edge_information
             and es.information == 0.0
-            and any(e.information != 0.0 for e in rows)
+            and any(e.information != 0.0 for e in es.edges)
         ):
             raise ValueError(
                 f"{es.KIND} edge set: edges carry non-zero information but the "
@@ -988,45 +1127,91 @@ class BlockSolver:
                 "information in the options"
             )
 
+        pose_idx_obj = np.fromiter(
+            (e.vertices[0].index for e in es.edges), np.int64, E_obj
+        )
+        if es.NVERTS == 2:
+            lm_idx_obj = np.fromiter(
+                (e.vertices[1].index for e in es.edges), np.int64, E_obj
+            )
+        else:
+            lm_idx_obj = np.zeros(E_obj, dtype=np.int64)
+        if opts.per_edge_information:
+            omega_obj = np.fromiter(
+                (e.information for e in es.edges), np.float64, E_obj
+            )
+        else:
+            omega_obj = np.full(E_obj, es.information)
+        active_obj = np.fromiter(
+            (1.0 if e.is_active else 0.0 for e in es.edges), np.float64, E_obj
+        )
+
         global_cam = es.camera.to_vec()
-        for i, edge in enumerate(rows):
-            omega[i] = edge.information if opts.per_edge_information else es.information
-            if opts.per_edge_camera and edge.camera is not None:
-                cam[i] = edge.camera.to_vec()
-            else:
-                cam[i] = global_cam
-            v0 = edge.vertices[0]
-            pose_idx[i] = v0.index
-            free_p[i] = 0.0 if v0.fixed else 1.0
-            if es.NVERTS == 2:
-                v1 = edge.vertices[1]
-                lm_idx[i] = v1.index
-                free_l[i] = 0.0 if v1.fixed else 1.0
+        cam = global_cam
+        if opts.per_edge_camera and any(
+            e.camera is not None for e in es.edges
+        ):
+            cam = np.broadcast_to(global_cam, (E_obj, 5)).copy()
+            for i, e in enumerate(es.edges):
+                if e.camera is not None:
+                    cam[i] = e.camera.to_vec()
 
-        active = np.array(
-            [1.0 if e.is_active else 0.0 for e in rows], dtype=np.float64
+        meas, pose_idx, lm_idx, omega, active = (
+            meas_obj, pose_idx_obj, lm_idx_obj, omega_obj, active_obj,
         )
+        b = es._bulk
+        if b is not None and b["meas"].shape[0]:
+            Eb = b["meas"].shape[0]
+            pose_set = self._pose_set
+            lm_set = self._lm_set
+            pib = pose_set.index_of_ids(b["pose_id"])
+            lib = (
+                lm_set.index_of_ids(b["lm_id"])
+                if es.NVERTS == 2 and lm_set is not None
+                else np.zeros(Eb, dtype=np.int64)
+            )
+            ob = (
+                b["info"]
+                if (opts.per_edge_information and b["info"] is not None)
+                else np.full(Eb, es.information)
+            )
+            meas = np.concatenate([meas, b["meas"]], axis=0)
+            pose_idx = np.concatenate([pose_idx, pib])
+            lm_idx = np.concatenate([lm_idx, lib])
+            omega = np.concatenate([omega, ob])
+            active = np.concatenate([active, b["active"].astype(np.float64)])
+            if cam.ndim == 2:
+                cam = np.concatenate(
+                    [cam, np.broadcast_to(global_cam, (Eb, 5))], axis=0
+                )
 
-        dt = self.dtype
-        data = PackedEdges(
-            meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
-            omega=jnp.asarray(omega, dt),
-            cam=jnp.asarray(np.ascontiguousarray(cam.T), dt),
-            pose_idx=jnp.asarray(pose_idx),
-            lm_idx=jnp.asarray(lm_idx),
-            free_p=jnp.asarray(free_p, dt),
-            free_l=jnp.asarray(free_l, dt),
-            active=jnp.asarray(active, dt),
+        # edges whose vertices are ALL fixed contribute nothing: mask them
+        # (the reference drops them at pack time, optimisable_graph.hpp:487-504)
+        Pa = self._pose_set.get_active_size()
+        La = (
+            self._lm_set.get_active_size()
+            if (es.NVERTS == 2 and self._lm_set is not None)
+            else 0
         )
-        meta = EdgeSetMeta(
+        if es.NVERTS == 1:
+            all_fixed = pose_idx >= Pa
+        else:
+            all_fixed = (pose_idx >= Pa) & (lm_idx >= La)
+        active = np.where(all_fixed, 0.0, active)
+        es._active_edge_size = int(np.sum(~all_fixed))
+
+        return dict(
             kind=es.KIND,
+            meas=meas,
+            pose_idx=pose_idx,
+            lm_idx=lm_idx,
+            omega=omega,
+            cam=cam,
             rk=int(es.robust_kernel_type),
             delta=float(es.robust_delta),
-            has_landmark=model.HAS_LANDMARK,
-            mdim=es.MDIM,
-            nedges=E,
+            active=active,
+            outlier_threshold=float(es.outlier_threshold),
         )
-        return data, meta, (pose_idx, lm_idx)
 
     # -- structure ------------------------------------------------------------
 
@@ -1036,7 +1221,7 @@ class BlockSolver:
         numpy copies kept at packing time, never from device downloads (a
         device->host sync here would stall the pipeline and, behind an RPC
         tunnel, cost seconds)."""
-        from .segments import build_bucket_plan
+        from .segments import UploadPool, _resolve_plan, build_bucket_plan
 
         self._attach_expand_plans()
         if not self.do_schur:
@@ -1092,6 +1277,9 @@ class BlockSolver:
             )
         self.symbolic_ms = (_time.perf_counter() - t0) * 1e3
         s = self.schur
+        # all int32 plan arrays funnel through ONE batched upload (each
+        # isolated transfer behind the axon tunnel pays ~27 ms of latency)
+        pool = UploadPool()
         layout_fields = {}
         if lay is not None:
             meta = lay.meta._replace(use_kernel=use_kernel)
@@ -1111,12 +1299,12 @@ class BlockSolver:
             extra_lm = ba_lm_idx[lay.meta.e_classes :].astype(np.int64)
             layout_fields = dict(
                 layout=meta,
-                class_a=tuple(jnp.asarray(a) for a in lay.a_lut),
-                class_b=tuple(jnp.asarray(b) for b in lay.b_lut),
-                outk_plan=build_bucket_plan(ids, s.nnz_blocks),
-                fix_rows=jnp.asarray(lay.fix_rows.astype(np.int32)),
-                lm_extra_pos=jnp.asarray(extra_lm.astype(np.int32)),
-                chunk_pose=jnp.asarray(
+                class_a=tuple(pool.add(a) for a in lay.a_lut),
+                class_b=tuple(pool.add(b) for b in lay.b_lut),
+                outk_plan=build_bucket_plan(ids, s.nnz_blocks, pool=pool),
+                fix_rows=pool.add(lay.fix_rows.astype(np.int32)),
+                lm_extra_pos=pool.add(extra_lm.astype(np.int32)),
+                chunk_pose=pool.add(
                     np.where(lay.chunk_pose < 0, self.Pa, lay.chunk_pose)
                     .astype(np.int32)
                 ),
@@ -1132,6 +1320,14 @@ class BlockSolver:
             if bw + 1 <= 48 and vmem <= 11 * 2**20:
                 band_meta = BandMeta(bw=bw, sb=sb)
 
+        # wide pattern at scale (no band even after RCM): preconditioned CG
+        # instead of the O(Pa^2)-memory dense build
+        pcg_plan = None
+        if band_meta is None and s.nnz_blocks and self.Pa >= 1024:
+            from .pcg import build_pcg_plan
+
+            pcg_plan = build_pcg_plan(s.blk_row, s.blk_col, self.Pa, pool=pool)
+
         chunked_pose_ids = None
         if lay is not None:
             extra_pose = ba_pose_idx[lay.meta.e_classes :].astype(np.int64)
@@ -1144,29 +1340,36 @@ class BlockSolver:
         if not use_kernel:
             tri_plan = build_bucket_plan(
                 s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
-                sentinel=Eba, sorted_ids=s.tri_sorted,
+                sentinel=Eba, sorted_ids=s.tri_sorted, pool=pool,
             )
-        self.plan = SchurPlan(
-            ba_pose_idx=jnp.asarray(ba_pose_idx, jnp.int32),
-            ba_lm_idx=jnp.asarray(ba_lm_idx, jnp.int32),
-            blk_row=jnp.asarray(s.blk_row),
-            blk_col=jnp.asarray(s.blk_col),
-            diag_pos=jnp.asarray(s.diag_pos),
+        plan = SchurPlan(
+            ba_pose_idx=pool.add(ba_pose_idx.astype(np.int32)),
+            ba_lm_idx=pool.add(ba_lm_idx.astype(np.int32)),
+            blk_row=pool.add(s.blk_row),
+            blk_col=pool.add(s.blk_col),
+            diag_pos=pool.add(s.diag_pos),
             tri_plan=tri_plan,
             bsc_plan=build_bucket_plan(
-                chunked_pose_ids if lay is not None else ba_pose_idx, self.Pa
+                chunked_pose_ids if lay is not None else ba_pose_idx, self.Pa,
+                pool=pool,
             ),
             lm_plan=None if lay is not None else build_bucket_plan(
-                ba_lm_idx, self.La
+                ba_lm_idx, self.La, pool=pool
             ),
             pose_plan=build_bucket_plan(
-                chunked_pose_ids if lay is not None else all_pose_idx, self.Pa
+                chunked_pose_ids if lay is not None else all_pose_idx, self.Pa,
+                pool=pool,
             ),
-            blk_row_plan=build_bucket_plan(s.blk_row, self.Pa, sorted_ids=True),
-            blk_col_plan=build_bucket_plan(s.blk_col, self.Pa),
+            blk_row_plan=build_bucket_plan(
+                s.blk_row, self.Pa, sorted_ids=True, pool=pool
+            ),
+            blk_col_plan=build_bucket_plan(s.blk_col, self.Pa, pool=pool),
             band=band_meta,
+            pcg=pcg_plan,
             **layout_fields,
         )
+        pool.commit()
+        self.plan = _resolve_schur_plan(plan)
         self._compile()
 
     def _attach_expand_plans(self) -> None:
@@ -1289,37 +1492,80 @@ class BlockSolver:
         """Flag outlier edges (chi2 above the per-set threshold) and mask them
         out for subsequent optimize() calls.  Masking keeps shapes static —
         the TPU-native replacement for the reference's edge deactivation +
-        structure rebuild (optimisable_graph.hpp:604-640)."""
-        if not self._edge_sets or not any(
-            es.outlier_threshold > 0.0 for es in self._edge_sets
-        ):
+        structure rebuild (optimisable_graph.hpp:604-640).
+
+        Works on the packed (possibly merged + layout-permuted) arrays, then
+        maps the keep masks back to original edge order for the object-API
+        write-back (``edge.inactivate()``)."""
+        keeps = self._update_edges_arrays()
+        if keeps is None or not self._edge_sets:
             return
+        # distribute original-order keeps to the object edge sets; a merged
+        # mono+stereo spec covers several sets contiguously
+        if len(keeps) == 1 and self._merged_sizes and self._merged_sizes[0]:
+            sizes = self._merged_sizes[0]
+            if keeps[0] is None:
+                parts = [None] * len(sizes)
+            else:
+                parts = np.split(keeps[0], np.cumsum(sizes)[:-1])
+        else:
+            parts = keeps
+        for es, keep in zip(self._edge_sets, parts):
+            if keep is None or es.outlier_threshold <= 0.0:
+                continue
+            n_out = 0
+            for i, edge in enumerate(es.edges):
+                if not keep[i] and edge.is_active:
+                    edge.inactivate()
+                    n_out += 1
+            b = es._bulk
+            if b is not None and b["meas"].shape[0]:
+                kb = keep[len(es.edges) :]
+                was = b["active"]
+                n_out += int(was.sum() - (was & kb).sum())
+                b["active"] = was & kb
+            es._outlier_count = n_out
+
+    def _update_edges_arrays(self):
+        """Outlier thresholding on the packed arrays (the analogue of
+        gpu::computeOutliers, cuda_block_solver.cu:1135-1149), driven by the
+        per-spec ``outlier_threshold`` (scalar, or per-edge array for merged
+        mono+stereo sets).  Returns per-packed-spec keep masks mapped back
+        to ORIGINAL edge order (None where no threshold applies)."""
+        thrs = self._spec_thresholds
+        if not thrs or not any(np.any(np.asarray(t) > 0) for t in thrs):
+            return None
         chis = _jit_per_set_chi(self.graph, self.packed, self.metas)
         new_packed = []
-        for es, data, chi_e in zip(self._edge_sets, self.packed, chis):
-            if es.outlier_threshold > 0.0:
-                keep = np.asarray(chi_e <= es.outlier_threshold) & (
-                    np.asarray(data.active) > 0
+        keeps = []
+        self._outlier_counts = []
+        for si, (data, thr, chi_e) in enumerate(zip(self.packed, thrs, chis)):
+            thr_np = np.asarray(thr, dtype=np.float64)
+            if np.any(thr_np > 0):
+                chi_np = np.asarray(chi_e)
+                was = np.asarray(data.active) > 0
+                keep = ((thr_np <= 0) | (chi_np <= thr_np)) & was
+                data = data._replace(
+                    active=jnp.asarray(keep.astype(np.float64), self.dtype)
                 )
-                new_active = jnp.asarray(keep.astype(np.float64), self.dtype)
-                data = data._replace(active=new_active)
-                n_out = int(data.active.shape[0] - keep.sum())
-                es._outlier_count = n_out
-                # write back into the host edge objects
-                i = 0
-                for edge in es.edges:
-                    if es.NVERTS == 1:
-                        packed_edge = not edge.vertices[0].fixed
-                    else:
-                        packed_edge = not (
-                            edge.vertices[0].fixed and edge.vertices[1].fixed
-                        )
-                    if packed_edge:
-                        if not keep[i]:
-                            edge.inactivate()
-                        i += 1
+                self._outlier_counts.append(int(was.sum() - keep.sum()))
+                # map packed (layout) order back to original edge order; rows
+                # with no packed slot (never true for real edges) keep True
+                if si == 0 and self.group_layout is not None:
+                    perm = self.group_layout.edge_perm
+                    rows = perm >= 0
+                    n_orig = int(perm[rows].max()) + 1 if rows.any() else 0
+                    ko = np.ones(n_orig, dtype=bool)
+                    ko[perm[rows]] = keep[rows]
+                    keeps.append(ko)
+                else:
+                    keeps.append(keep)
+            else:
+                self._outlier_counts.append(0)
+                keeps.append(None)
             new_packed.append(data)
         self.packed = tuple(new_packed)
+        return keeps
 
     # -- finalize ----------------------------------------------------------------
 
@@ -1328,17 +1574,28 @@ class BlockSolver:
         (block_solver.cpp:441-458)."""
         if self._pose_set is None:
             return  # array-initialized problems keep results in self.graph
-        q = np.asarray(self.graph.q, dtype=np.float64)
-        t = np.asarray(self.graph.t, dtype=np.float64)
+        q, t = self.result_poses()  # undoes any RCM pose reordering
         self._pose_set.write_back(q, t)
         if self._lm_set is not None and self.L > 0:
-            Xw = np.asarray(self.graph.Xw, dtype=np.float64)
-            self._lm_set.write_back(Xw)
+            # undoes the group layout's landmark renumbering/padding
+            self._lm_set.write_back(self.result_landmarks())
 
     def nedges(self) -> int:
         return sum(m.nedges for m in self.metas)
 
     # -- results (fast array path) ---------------------------------------------
+
+    def result_poses(self) -> tuple[np.ndarray, np.ndarray]:
+        """Pose estimates ``(q, t)`` in the caller's original order (RCM may
+        reorder active poses internally; solver/ordering.py)."""
+        q = np.asarray(self.graph.q, dtype=np.float64)
+        t = np.asarray(self.graph.t, dtype=np.float64)
+        if self.pose_perm is None:
+            return q, t
+        out_q, out_t = q.copy(), t.copy()
+        out_q[self.pose_perm] = q[: self.Pa]
+        out_t[self.pose_perm] = t[: self.Pa]
+        return out_q, out_t
 
     def result_landmarks(self) -> np.ndarray:
         """Landmark estimates in the caller's original order (the group
@@ -1401,7 +1658,7 @@ def _jit_reduce(sys, lam, plan, metas, Pa, La, nnz):
 def _jit_solve_reduced(blocks, bsc, plan, Pa, mixed):
     return _solve_reduced_blocks(
         blocks, plan.blk_row, plan.blk_col, plan.diag_pos, bsc, Pa, mixed,
-        plan.blk_row_plan, plan.blk_col_plan, plan.band,
+        plan.blk_row_plan, plan.blk_col_plan, plan.band, plan.pcg,
     )
 
 

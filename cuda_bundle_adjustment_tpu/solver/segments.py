@@ -23,10 +23,89 @@ reduction over multiply triples (cuda_block_solver.cu:1327-1345).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _Handle:
+    """Deferred device array: a slice of an :class:`UploadPool` buffer."""
+
+    __slots__ = ("pool", "offset", "shape")
+
+    def __init__(self, pool, offset, shape):
+        self.pool = pool
+        self.offset = offset
+        self.shape = shape
+
+    def get(self):
+        return self.pool.resolve(self)
+
+
+class UploadPool:
+    """Batches many small int32 plan arrays into ONE host->device upload.
+
+    Behind the axon RPC tunnel every isolated transfer pays ~27 ms of fixed
+    latency; a structure build creates ~20 plan arrays, so uploading them
+    individually costs ~0.5 s of pure latency.  The pool concatenates all
+    arrays into one flat int32 buffer, uploads it once, and splits it back
+    into views with a single jitted slice program (one dispatch).
+    """
+
+    def __init__(self):
+        self._arrays: list[np.ndarray] = []
+        self._offsets: list[int] = [0]
+        self._device: tuple | None = None
+
+    def add(self, a) -> _Handle:
+        if self._device is not None:
+            raise RuntimeError("UploadPool already committed")
+        a = np.ascontiguousarray(np.asarray(a, dtype=np.int32))
+        h = _Handle(self, len(self._arrays), a.shape)
+        self._arrays.append(a.reshape(-1))
+        self._offsets.append(self._offsets[-1] + a.size)
+        return h
+
+    def commit(self) -> None:
+        if self._device is not None:
+            return
+        flat = (
+            np.concatenate(self._arrays)
+            if self._arrays
+            else np.zeros(0, dtype=np.int32)
+        )
+        dev = jnp.asarray(flat)  # the ONE upload
+        sizes = tuple(int(a.size) for a in self._arrays)
+        offs = tuple(self._offsets[:-1])
+        self._device = _pool_split(dev, offs, sizes)
+
+    def resolve(self, h: _Handle):
+        if self._device is None:
+            self.commit()
+        return self._device[h.offset].reshape(h.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("offs", "sizes"))
+def _pool_split(flat, offs, sizes):
+    return tuple(
+        jax.lax.slice_in_dim(flat, o, o + n) for o, n in zip(offs, sizes)
+    )
+
+
+def _resolve_plan(plan: "BucketPlan") -> "BucketPlan":
+    """Replace deferred handles in a plan tree with real device arrays."""
+    buckets = tuple(
+        tuple(s.get() if isinstance(s, _Handle) else s for s in streams)
+        for streams in plan.payload_buckets
+    )
+    og = plan.out_gather
+    if isinstance(og, _Handle):
+        og = og.get()
+    second = _resolve_plan(plan.second) if plan.second is not None else None
+    return BucketPlan(buckets, og, plan.num_segments, second)
 
 
 class BucketPlan(NamedTuple):
@@ -56,6 +135,7 @@ def build_bucket_plan(
     max_bucket: int = 1 << 14,
     sorted_ids: bool = False,
     host_out: dict | None = None,
+    pool: UploadPool | None = None,
 ) -> BucketPlan:
     """Plan a reduction of ``len(ids)`` rows into ``num_segments`` segments.
 
@@ -66,6 +146,7 @@ def build_bucket_plan(
     emitting the same segment id multiple times — handled via a second-level
     plan below, so arbitrary segment sizes are safe).
     """
+    conv = pool.add if pool is not None else jnp.asarray
     ids = np.asarray(ids, dtype=np.int64)
     N = ids.size
     M = int(num_segments)
@@ -133,7 +214,7 @@ def build_bucket_plan(
                         valid, p[order[np.minimum(pos, N - 1)]], sentinel
                     ).astype(np.int32)
             host_streams.append(g)
-            streams.append(jnp.asarray(host_streams[-1]))
+            streams.append(conv(host_streams[-1]))
         payload_buckets.append(tuple(streams))
         if host_out is not None:
             host_out.setdefault("buckets", []).append(tuple(host_streams))
@@ -142,7 +223,7 @@ def build_bucket_plan(
     pos_of_row[row_order] = np.arange(total_rows)
 
     if not two_level:
-        out_gather = jnp.asarray(pos_of_row.astype(np.int32))  # rows == segments
+        out_gather = conv(pos_of_row.astype(np.int32))  # rows == segments
         return BucketPlan(tuple(payload_buckets), out_gather, M, None)
 
     # second level: reduce the per-chunk partial rows by owning segment
@@ -150,9 +231,9 @@ def build_bucket_plan(
     row_seg = seg_of_row[row_order]
     second = build_bucket_plan(
         row_seg, M, payloads=None, sentinel=total_rows,
-        min_bucket=min_bucket, max_bucket=max_bucket,
+        min_bucket=min_bucket, max_bucket=max_bucket, pool=pool,
     )
-    out_gather = jnp.asarray(np.arange(M, dtype=np.int32))
+    out_gather = conv(np.arange(M, dtype=np.int32))
     return BucketPlan(tuple(payload_buckets), out_gather, M, second)
 
 

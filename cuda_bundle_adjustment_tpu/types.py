@@ -35,6 +35,13 @@ class PackedEdges(NamedTuple):
     lm_xp: object = None
     lm_slot: object = None  # Optional[groups.GroupLayoutMeta]: landmark state
     # reads become d stacked slice copies per class (no gather at all)
+    mask3: object = None  # Optional [E]: 1.0 = stereo row, 0.0 = mono row.
+    # A merged mono+stereo edge set runs the stereo model with the third
+    # residual component and Jacobian row masked per edge — the masked math
+    # reduces EXACTLY to the mono model (the mono Jacobian is stereo's rows
+    # 0-1), so one co-visibility group layout covers both sets (the
+    # reference's real inputs carry both, samples/sample_ba_from_file/
+    # main.cpp:121-165)
 
 
 class GraphArrays(NamedTuple):

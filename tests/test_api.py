@@ -128,6 +128,32 @@ def test_outlier_threshold_deactivates_edges():
     assert np.isfinite(trace[-1])
 
 
+def test_outlier_threshold_array_path():
+    """Array-path twin of test_outlier_threshold_deactivates_edges: the
+    fused/benchmark path must apply the same chi2-vs-threshold masking
+    (gpu::computeOutliers analogue, cuda_block_solver.cu:1135-1149)."""
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+
+    problem = make_ba_problem(
+        num_poses=8, num_landmarks=40, kind="mono", seed=19, noise_px=0.5
+    )
+    meas = problem.meas.copy()
+    meas[::10] += 500.0  # gross outliers
+    problem = problem._replace(meas=meas)
+
+    opt = optimizer_from_problem(problem, outlier_threshold=100.0)
+    opt.optimize(3)
+    counts = opt.solver._outlier_counts
+    assert sum(counts) > 0
+    # the masked edges stay excluded: a second optimize reaches a finite,
+    # lower chi2 with the reduced active count
+    n_active = int(np.asarray(opt.solver.packed[0].active).sum())
+    assert n_active == problem.meas.shape[0] - sum(counts)
+    opt.optimize(5)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert np.isfinite(trace[-1])
+
+
 def test_per_edge_information_and_camera():
     problem = make_ba_problem(num_poses=6, num_landmarks=30, kind="mono", seed=23)
     poses, landmarks, edge_set = _build_object_graph(

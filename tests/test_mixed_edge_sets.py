@@ -54,6 +54,33 @@ def test_mono_plus_stereo_edge_sets_converge():
     assert np.isfinite(trace[-1])
 
 
+def test_mono_stereo_merge_equals_separate_sets():
+    """The masked-stereo merge (PackedEdges.mask3) must reproduce the
+    unmerged two-set math exactly (the mono Jacobian is stereo's rows 0-1)."""
+    import cuda_bundle_adjustment_tpu.solver.block_solver as BS
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_mixed_ba_problem
+
+    mp = make_mixed_ba_problem(
+        num_poses=16, num_landmarks=180, mean_obs_per_landmark=3.5, seed=11
+    )
+    opt = optimizer_from_problem(mp)
+    assert len(opt.solver.packed) == 1 and opt.solver.packed[0].mask3 is not None
+    opt.optimize(6)
+    tr_merged = [s.chi2 for s in opt.batch_statistics().get()]
+
+    orig = BS._merge_ba_specs
+    BS._merge_ba_specs = lambda s: s  # defeat merging -> two-set slow path
+    try:
+        opt2 = optimizer_from_problem(mp)
+        assert len(opt2.solver.packed) == 2
+        opt2.optimize(6)
+    finally:
+        BS._merge_ba_specs = orig
+    tr_sep = [s.chi2 for s in opt2.batch_statistics().get()]
+    np.testing.assert_allclose(tr_merged, tr_sep, rtol=1e-9)
+
+
 def test_mixed_sets_match_host_loop():
     mono = make_ba_problem(
         num_poses=10, num_landmarks=150, mean_obs_per_landmark=3.0,
