@@ -4,42 +4,59 @@ New scope over the single-GPU reference (SURVEY.md section 2.3): the scaling
 axes are edges (largest) and landmarks.  The decomposition is the standard
 distributed Schur reduction:
 
-* poses are REPLICATED over the mesh (the reduced camera system is small:
-  6*P ~ 8k rows for KITTI-00);
+* poses are REPLICATED over the mesh (the reduced camera system is linear in
+  P: it is kept as flat sparse 6x6 blocks, never as a dense matrix);
 * landmarks are SHARDED; every edge lives on its landmark's shard, so
-  Hll/bl/Hpl and the per-landmark Schur multiply plan are shard-local;
+  Hll/bl/Hpl and the per-landmark Schur pair products are shard-local;
 * per-shard partial Hpp/bp/bsc/Hsc-blocks are combined with ``psum`` over the
   mesh (rides ICI), after which every device holds the replicated reduced
-  system and solves it redundantly (cheaper than sharding a 8k x 8k solve);
+  system in BLOCK-SPARSE form;
+* the pose solve is chunked-block-Jacobi preconditioned CG on the flat
+  blocks — O(nnz) memory and batched-MXU preconditioner factorisation, so
+  the BASELINE city-scale config (~10k poses / 1M landmarks) fits: the old
+  dense ``[Pa, Pa, 6, 6]`` replicated solve was ~29 GB/device at 10k poses;
 * the landmark back-substitution is embarrassingly shard-local.
 
-One jitted ``distributed_lm_step`` performs a full damped LM trial step.
+Two entry points:
+
+* :func:`make_distributed_lm_step` — one jitted damped LM trial step
+  (used by the driver dryrun and the parity tests);
+* :func:`distributed_optimize` — the FULL LM loop (outer iterations, inner
+  damping, accept/reject, termination) fused into ONE dispatch via
+  ``lax.while_loop`` under ``shard_map`` (same control flow as
+  solver/fused.py, which itself matches
+  /root/reference/src/cuda_graph_optimisation.cpp:48-154).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.ops import segment_sum
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import MODEL_REGISTRY
 from ..ops.components import (
     flat_abt_6x3,
     flat_mm_6x3_3x3,
     flat_mtv_6x3,
+    flat_mtv_6x6,
     flat_mv_3x3,
     flat_mv_6x3,
+    flat_mv_6x6,
     flat_sym3x3_inv,
 )
 from ..ops.linalg import add_lambda
 from ..ops.lie import se3_exp, se3_update_left
+from ..solver.pcg import PcgPlan, build_pcg_plan, solve_blocks_pcg
 from ..solver.symbolic import build_schur_structure
 from ..types import GraphArrays
+
+MAXQ = 10  # inner damping trials, cuda_graph_optimisation.cpp:50
+TAU = 1e-5  # initial-lambda factor, cuda_graph_optimisation.cpp:51
 
 
 class ShardedProblem(NamedTuple):
@@ -71,14 +88,17 @@ class ShardedProblem(NamedTuple):
     blk_col: jnp.ndarray
     diag_pos: jnp.ndarray  # [Pa]
     kind: str
+    # chunked block-Jacobi preconditioner plan (replicated; solver/pcg.py)
+    pc: PcgPlan = None
 
 
 def shard_problem(problem, num_shards: int) -> ShardedProblem:
     """Partition a :class:`~..io.synthetic.BAProblem` by landmark.
 
-    Landmarks are dealt round-robin to shards (balancing edge counts would be
-    a refinement); each edge follows its landmark.  All per-shard arrays are
-    padded to the max shard size with inert entries.
+    Landmarks are dealt round-robin to shards; each edge follows its
+    landmark.  All per-shard arrays are padded to the max shard size with
+    inert entries.  Fully vectorised (no per-edge or per-shard Python loops)
+    so city-scale inputs (~4M edges) shard in seconds.
     """
     D = num_shards
     Pa = problem.num_active_poses
@@ -94,80 +114,75 @@ def shard_problem(problem, num_shards: int) -> ShardedProblem:
     order = np.argsort(edge_shard, kind="stable")
     counts = np.bincount(edge_shard, minlength=D)
     Es = int(counts.max()) if E else 1
+    starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    # flat slot of each (ordered) edge: shard * Es + position-within-shard
+    es_sorted = edge_shard[order]
+    pos_within = np.arange(E, dtype=np.int64) - starts[es_sorted]
+    slot = es_sorted * Es + pos_within
 
     M = problem.meas.shape[1]
-    meas = np.zeros((D, Es, M))
-    omega = np.zeros((D, Es))
-    cam = np.zeros((D, Es, 5))
-    pose_idx = np.full((D, Es), Pa, dtype=np.int32)  # pad -> dropped by segsum
-    lml = np.zeros((D, Es), dtype=np.int32)
-    active = np.zeros((D, Es))
+    meas = np.zeros((D * Es, M))
+    omega = np.zeros(D * Es)
+    cam = np.zeros((D * Es, 5))
+    pose_idx = np.full(D * Es, Pa, dtype=np.int32)  # pad -> dropped by segsum
+    lml = np.zeros(D * Es, dtype=np.int32)
+    active = np.zeros(D * Es)
 
     cam_full = (
         problem.cam if problem.cam.ndim == 2 else np.broadcast_to(problem.cam, (E, 5))
     )
-    starts = np.zeros(D, dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    for d in range(D):
-        sel = order[starts[d] : starts[d] + counts[d]]
-        n = len(sel)
-        meas[d, :n] = problem.meas[sel]
-        omega[d, :n] = problem.omega[sel]
-        cam[d, :n] = cam_full[sel]
-        pose_idx[d, :n] = problem.pose_idx[sel]
-        lml[d, :n] = lm_local[problem.lm_idx[sel]]
-        active[d, :n] = 1.0
+    meas[slot] = problem.meas[order]
+    omega[slot] = problem.omega[order]
+    cam[slot] = cam_full[order]
+    pose_idx[slot] = problem.pose_idx[order]
+    lml[slot] = lm_local[problem.lm_idx[order]]
+    active[slot] = 1.0
 
     # landmarks: [D, Ls, 3]
     Xw = np.zeros((D, Ls, 3))
     Xw[lm_shard, lm_local] = problem.landmarks
 
-    # global Hsc pattern from ALL edges (landmark pairing is shard-local, so
-    # the union over shards equals the global pattern)
+    # global Hsc pattern + multiply triples from ALL edges.  Each triple's
+    # two edges share a landmark, so every triple is shard-local by
+    # construction: shard it by its landmark's shard and remap the edge ids
+    # to shard-local slots.
     s = build_schur_structure(problem.pose_idx, problem.lm_idx, Pa, La)
+    slot_of_edge = np.empty(E, dtype=np.int64)
+    slot_of_edge[order] = slot
+    tri_slot_i = slot_of_edge[s.tri_ei]  # flat [D*Es] slot
+    tri_slot_j = slot_of_edge[s.tri_ej]
+    tri_shard = tri_slot_i // Es
+    t_order = np.argsort(tri_shard, kind="stable")
+    t_counts = np.bincount(tri_shard, minlength=D)
+    Ts = max(int(t_counts.max()) if s.tri_k.size else 1, 1)
+    t_starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(t_counts[:-1], out=t_starts[1:])
+    t_pos = np.arange(s.tri_k.size, dtype=np.int64) - t_starts[tri_shard[t_order]]
+    t_slot = tri_shard[t_order] * Ts + t_pos
+    tri_ei = np.full(D * Ts, Es, dtype=np.int32)  # pad slot Es -> zero row
+    tri_ej = np.full(D * Ts, Es, dtype=np.int32)
+    tri_k = np.full(D * Ts, s.nnz_blocks, dtype=np.int32)  # pad -> dropped
+    tri_ei[t_slot] = (tri_slot_i % Es)[t_order]
+    tri_ej[t_slot] = (tri_slot_j % Es)[t_order]
+    tri_k[t_slot] = s.tri_k[t_order]
 
-    # per-shard triples in LOCAL edge coordinates
-    # recompute per shard using local (pose, lm) arrays; map k via global keys
-    key_to_k = {}
-    for k in range(s.nnz_blocks):
-        key_to_k[(int(s.blk_row[k]), int(s.blk_col[k]))] = k
-
-    tri_parts = []
-    for d in range(D):
-        n = counts[d]
-        sd = build_schur_structure(
-            pose_idx[d, :n], lml[d, :n], Pa, Ls
-        )
-        # map each local pair to the global block id
-        kk = np.array(
-            [key_to_k[(int(r), int(c))] for r, c in zip(sd.blk_row, sd.blk_col)],
-            dtype=np.int32,
-        )
-        tri_parts.append((sd.tri_ei, sd.tri_ej, kk[sd.tri_k]))
-    Ts = max(max((p[0].size for p in tri_parts), default=1), 1)
-    tri_ei = np.zeros((D, Ts), dtype=np.int32)
-    tri_ej = np.zeros((D, Ts), dtype=np.int32)
-    tri_k = np.full((D, Ts), s.nnz_blocks, dtype=np.int32)  # pad -> dropped
-    for d, (ei, ej, kk) in enumerate(tri_parts):
-        tri_ei[d, : ei.size] = ei
-        tri_ej[d, : ej.size] = ej
-        tri_k[d, : kk.size] = kk
+    pc = build_pcg_plan(s.blk_row, s.blk_col, Pa)
 
     return ShardedProblem(
         pose_q=jnp.asarray(problem.pose_q),
         pose_t=jnp.asarray(problem.pose_t),
         Xw=jnp.asarray(Xw.reshape(D * Ls, 3)),
-        meas=jnp.asarray(
-            np.ascontiguousarray(meas.reshape(D * Es, M).T)
-        ),
-        omega=jnp.asarray(omega.reshape(D * Es)),
-        cam=jnp.asarray(np.ascontiguousarray(cam.reshape(D * Es, 5).T)),
-        pose_idx=jnp.asarray(pose_idx.reshape(D * Es)),
-        lm_local=jnp.asarray(lml.reshape(D * Es)),
-        active=jnp.asarray(active.reshape(D * Es)),
-        tri_ei=jnp.asarray(tri_ei.reshape(D * Ts)),
-        tri_ej=jnp.asarray(tri_ej.reshape(D * Ts)),
-        tri_k=jnp.asarray(tri_k.reshape(D * Ts)),
+        meas=jnp.asarray(np.ascontiguousarray(meas.T)),
+        omega=jnp.asarray(omega),
+        cam=jnp.asarray(np.ascontiguousarray(cam.T)),
+        pose_idx=jnp.asarray(pose_idx),
+        lm_local=jnp.asarray(lml),
+        active=jnp.asarray(active),
+        tri_ei=jnp.asarray(tri_ei),
+        tri_ej=jnp.asarray(tri_ej),
+        tri_k=jnp.asarray(tri_k),
         num_shards=D,
         edges_per_shard=Es,
         lms_per_shard=Ls,
@@ -178,7 +193,108 @@ def shard_problem(problem, num_shards: int) -> ShardedProblem:
         blk_col=jnp.asarray(s.blk_col),
         diag_pos=jnp.asarray(s.diag_pos),
         kind=problem.kind,
+        pc=pc,
     )
+
+
+# ---------------------------------------------------------------------------
+# shard-local stage functions (run inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+class _EdgeData:
+    """PackedEdges-shaped adapter for the model stage functions."""
+
+    pose_xp = None
+    lm_xp = None
+    lm_slot = None
+    mask3 = None
+
+    def __init__(self, sp: ShardedProblem, meas, omega, cam, pose_idx, lm_local, active):
+        self.meas, self.omega, self.cam = meas, omega, cam
+        self.pose_idx, self.lm_idx, self.active = pose_idx, lm_local, active
+        self.free_p = (pose_idx < sp.num_active_poses).astype(omega.dtype)
+        self.free_l = jnp.ones_like(omega)  # padding edges carry active = 0
+
+
+def _make_shard_fns(mesh: Mesh, sp: ShardedProblem, rk: int, delta: float):
+    """Shard-local chi/system/trial closures shared by the step and the
+    fused loop."""
+    axis = mesh.axis_names[0]
+    model = MODEL_REGISTRY[sp.kind]
+    Pa = sp.num_active_poses
+    Ls = sp.lms_per_shard
+    nnz = sp.nnz_blocks
+
+    def chi_and_system(q, t, Xw, ed: _EdgeData):
+        graph = GraphArrays(q=q, t=t, Xw=Xw)
+        chi = jax.lax.psum(jnp.sum(model.chi(graph, ed, rk, delta)), axis)
+        pose_stack, lm_stack, Hpl = model.terms(graph, ed, rk, delta)
+        pose_acc = jax.lax.psum(
+            segment_sum(pose_stack, ed.pose_idx, num_segments=Pa), axis
+        )
+        Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
+        bp = pose_acc[:, 36:]
+        lm_acc = segment_sum(lm_stack, ed.lm_idx, num_segments=Ls)
+        return chi, (Hpp, bp, lm_acc[:, :9], lm_acc[:, 9:], Hpl)
+
+    def chi_only(q, t, Xw, ed: _EdgeData):
+        graph = GraphArrays(q=q, t=t, Xw=Xw)
+        return jax.lax.psum(jnp.sum(model.chi(graph, ed, rk, delta)), axis)
+
+    def trial(q, t, Xw, sys, lam, ed, tri_ei, tri_ej, tri_k,
+              blk_row, blk_col, diag_pos, pc):
+        Hpp, bp, Hll, bl, Hpl = sys
+        dtype = bp.dtype
+        Hpp_d = add_lambda(Hpp, lam)
+        diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
+        Hll_d = Hll + lam * diag9
+        invHll = flat_sym3x3_inv(Hll_d)  # [Ls,9]
+
+        W = flat_mm_6x3_3x3(Hpl, invHll[ed.lm_idx])  # [Es,18]
+        bsc = bp - jax.lax.psum(
+            segment_sum(
+                flat_mv_6x3(W, bl[ed.lm_idx]), ed.pose_idx, num_segments=Pa
+            ),
+            axis,
+        )
+        We = jnp.concatenate([W, jnp.zeros((1, 18), dtype)], axis=0)
+        He = jnp.concatenate([Hpl, jnp.zeros((1, 18), dtype)], axis=0)
+        prod = flat_abt_6x3(We[tri_ei], He[tri_ej])  # [Ts,36]
+        blocks = -jax.lax.psum(
+            segment_sum(prod, tri_k, num_segments=nnz), axis
+        )
+        blocks = blocks.at[diag_pos].add(Hpp_d.reshape(Pa, 36))
+
+        xp, success = solve_blocks_pcg(
+            blocks, bsc, Pa, blk_row, blk_col, diag_pos, pc
+        )
+
+        # shard-local landmark back-substitution
+        xp_e = xp[jnp.minimum(ed.pose_idx, Pa - 1)]
+        cl = bl - segment_sum(
+            flat_mtv_6x3(Hpl, xp_e), ed.lm_idx, num_segments=Ls
+        )
+        xl = flat_mv_3x3(invHll, cl)
+
+        dq, dt = se3_exp(xp)
+        q_new, t_new = se3_update_left(dq, dt, q[:Pa], t[:Pa])
+        q2 = jnp.concatenate([q_new, q[Pa:]], axis=0)
+        t2 = jnp.concatenate([t_new, t[Pa:]], axis=0)
+        Xw2 = Xw + xl
+
+        scale = jnp.sum(xp * (lam * xp + bp)) + jax.lax.psum(
+            jnp.sum(xl * (lam * xl + bl)), axis
+        )
+        return q2, t2, Xw2, scale, success
+
+    def max_diag(sys):
+        Hpp, bp, Hll, bl, Hpl = sys
+        m = jnp.max(jnp.diagonal(Hpp, axis1=-2, axis2=-1))
+        m = jnp.maximum(m, jnp.max(Hll[:, (0, 4, 8)]))
+        return jax.lax.pmax(m, axis)
+
+    return chi_and_system, chi_only, trial, max_diag
 
 
 def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta: float = 1.0):
@@ -189,105 +305,19 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
     the module docstring.
     """
     axis = mesh.axis_names[0]
-    model = MODEL_REGISTRY[sp.kind]
-    Pa = sp.num_active_poses
-    Ls = sp.lms_per_shard
-    nnz = sp.nnz_blocks
-
-    def _chi_and_system(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active):
-        """Shard-local chi + block system (poses replicated, landmarks local)."""
-
-        class _D:  # PackedEdges-shaped adapter for the model fns
-            pose_xp = None
-            lm_xp = None
-            pass
-
-        data = _D()
-        data.meas, data.omega, data.cam = meas, omega, cam
-        data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
-        data.free_p = (pose_idx < Pa).astype(omega.dtype)
-        data.free_l = jnp.ones_like(omega)  # padding edges carry active = 0
-        graph = GraphArrays(q=q, t=t, Xw=Xw)
-
-        chi = jnp.sum(model.chi(graph, data, rk, delta))
-        chi = jax.lax.psum(chi, axis)
-
-        pose_stack, lm_stack, Hpl = model.terms(graph, data, rk, delta)
-        pose_acc = jax.lax.psum(
-            segment_sum(pose_stack, pose_idx, num_segments=Pa), axis
-        )
-        Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
-        bp = pose_acc[:, 36:]
-        lm_acc = segment_sum(lm_stack, lm_local, num_segments=Ls)
-        Hll = lm_acc[:, :9]
-        bl = lm_acc[:, 9:]
-        return chi, Hpp, bp, Hll, bl, Hpl
+    chi_and_system, chi_only, trial, _ = _make_shard_fns(mesh, sp, rk, delta)
 
     def _step(
         q, t, Xw, meas, omega, cam, pose_idx, lm_local, active,
-        tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, lam,
+        tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, pc, lam,
     ):
-        chi0, Hpp, bp, Hll, bl, Hpl = _chi_and_system(
-            q, t, Xw, meas, omega, cam, pose_idx, lm_local, active
+        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active)
+        chi0, sys = chi_and_system(q, t, Xw, ed)
+        q2, t2, Xw2, scale, success = trial(
+            q, t, Xw, sys, lam, ed, tri_ei, tri_ej, tri_k,
+            blk_row, blk_col, diag_pos, pc,
         )
-
-        dtype = bp.dtype
-        Hpp_d = add_lambda(Hpp, lam)
-        diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
-        Hll_d = Hll + lam * diag9
-        invHll = flat_sym3x3_inv(Hll_d)  # [Ls,9]
-
-        W = flat_mm_6x3_3x3(Hpl, invHll[lm_local])  # [Es,18]
-        bsc = bp - jax.lax.psum(
-            segment_sum(
-                flat_mv_6x3(W, bl[lm_local]), pose_idx, num_segments=Pa
-            ),
-            axis,
-        )
-
-        prod = flat_abt_6x3(W[tri_ei], Hpl[tri_ej])  # [Ts,36]
-        blocks = -jax.lax.psum(segment_sum(prod, tri_k, num_segments=nnz), axis)
-        blocks = blocks.at[diag_pos].add(Hpp_d.reshape(Pa, 36))
-        blocks = blocks.reshape(nnz, 6, 6)
-
-        dense = jnp.zeros((Pa, Pa, 6, 6), dtype=blocks.dtype)
-        dense = dense.at[blk_row, blk_col].add(blocks)
-        mirror = jnp.where(
-            (blk_row != blk_col)[:, None, None],
-            jnp.swapaxes(blocks, -1, -2),
-            jnp.zeros_like(blocks),
-        )
-        dense = dense.at[blk_col, blk_row].add(mirror)
-        A = dense.transpose(0, 2, 1, 3).reshape(Pa * 6, Pa * 6)
-
-        from jax.scipy.linalg import solve_triangular
-
-        Lc = jnp.linalg.cholesky(A)
-        y = solve_triangular(Lc, bsc.reshape(-1), lower=True)
-        xp_flat = solve_triangular(Lc.T, y, lower=False)
-        success = jnp.all(jnp.isfinite(xp_flat))
-        xp = xp_flat.reshape(Pa, 6)
-
-        # shard-local landmark back-substitution
-        xp_e = xp[jnp.minimum(pose_idx, Pa - 1)]
-        cl = bl - segment_sum(
-            flat_mtv_6x3(Hpl, xp_e), lm_local, num_segments=Ls
-        )
-        xl = flat_mv_3x3(invHll, cl)
-
-        # update (poses replicated, landmarks local)
-        dq, dt = se3_exp(xp)
-        q_new, t_new = se3_update_left(dq, dt, q[:Pa], t[:Pa])
-        q2 = jnp.concatenate([q_new, q[Pa:]], axis=0)
-        t2 = jnp.concatenate([t_new, t[Pa:]], axis=0)
-        Xw2 = Xw + xl
-
-        chi1, *_ = _chi_and_system(
-            q2, t2, Xw2, meas, omega, cam, pose_idx, lm_local, active
-        )
-        scale = jnp.sum(xp * (lam * xp + bp)) + jax.lax.psum(
-            jnp.sum(xl * (lam * xl + bl)), axis
-        )
+        chi1 = chi_only(q2, t2, Xw2, ed)
         return q2, t2, Xw2, chi0, chi1, scale, success
 
     sharded = jax.shard_map(
@@ -295,7 +325,8 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         mesh=mesh,
         in_specs=(
             P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P(axis), P(), P(), P(), P()),
         check_vma=False,
@@ -306,100 +337,159 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         return sharded(
             q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
             sp.active, sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
-            sp.diag_pos, lam,
+            sp.diag_pos, sp.pc, lam,
         )
 
     return step
+
+
+def make_distributed_optimize_fused(
+    mesh: Mesh, sp: ShardedProblem, niterations: int, rk: int = 0, delta: float = 1.0
+):
+    """The FULL distributed LM loop as one dispatch: outer iterations, inner
+    damping trials, accept/reject, lambda adaptation and termination run as
+    ``lax`` control flow inside ``shard_map`` (all loop scalars are
+    replicated, so every device takes identical branches).  The linearised
+    system is built once per outer iteration and reused across damping
+    retries — the round-1 host loop rebuilt it every trial.
+    """
+    axis = mesh.axis_names[0]
+    chi_and_system, chi_only, trial, max_diag = _make_shard_fns(
+        mesh, sp, rk, delta
+    )
+
+    def _opt(
+        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active,
+        tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, pc,
+    ):
+        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active)
+        dtype = omega.dtype
+
+        def run_trial(q_c, t_c, Xw_c, sys, lam):
+            q2, t2, Xw2, scale_raw, success = trial(
+                q_c, t_c, Xw_c, sys, lam, ed, tri_ei, tri_ej, tri_k,
+                blk_row, blk_col, diag_pos, pc,
+            )
+            Fhat = chi_only(q2, t2, Xw2, ed)
+            return q2, t2, Xw2, Fhat, scale_raw + 1e-3, success
+
+        def inner_damping(q0, t0, Xw0, sys, lam, nu, F):
+            def cond(c):
+                *_state, rho, qq, stop = c
+                return (~stop) & (qq < MAXQ) & (rho < 0)
+
+            def body(c):
+                q_c, t_c, Xw_c, lam_c, nu_c, F_c, rho, qq, stop = c
+                q2, t2, Xw2, Fhat, scale, success = run_trial(
+                    q_c, t_c, Xw_c, sys, lam_c
+                )
+                Fdiff = Fhat - F_c
+                rho_t = jnp.where(
+                    success, (F_c - Fhat) / scale, jnp.asarray(-1.0, dtype)
+                )
+                accept = rho_t > 0
+                x = 2.0 * rho_t - 1.0
+                att = jnp.clip(1.0 - x * x * x, 1.0 / 3.0, 2.0 / 3.0)
+                lam_n = jnp.where(accept, lam_c * att, lam_c * nu_c)
+                nu_n = jnp.where(accept, 2.0, nu_c * 2.0)
+                sel = lambda a, b: jnp.where(accept, a, b)
+                q_n, t_n = sel(q2, q_c), sel(t2, t_c)
+                Xw_n = sel(Xw2, Xw_c)
+                F_n = jnp.where(accept, Fhat, F_c)
+                bail = (~jnp.isfinite(lam_n)) | (Fdiff < 1e-4)
+                stop_n = accept | bail
+                qq_n = jnp.where(stop_n, qq, qq + 1)
+                return q_n, t_n, Xw_n, lam_n, nu_n, F_n, rho_t, qq_n, stop_n
+
+            init = (
+                q0, t0, Xw0, lam, nu, F,
+                jnp.asarray(-1.0, dtype), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            )
+            q_f, t_f, Xw_f, lam_f, nu_f, F_f, rho_f, qq_f, _ = (
+                jax.lax.while_loop(cond, body, init)
+            )
+            return q_f, t_f, Xw_f, lam_f, nu_f, F_f, rho_f, qq_f
+
+        def one_iteration(it, carry):
+            q_c, t_c, Xw_c, F, lam, nu, done, trace, n_done, rho_last = carry
+
+            def run(args):
+                q_c, t_c, Xw_c, F0, lam, nu, trace, n_done = args
+                _chi, sys = chi_and_system(q_c, t_c, Xw_c, ed)
+                lam0 = jnp.where(it == 0, TAU * max_diag(sys), lam)
+                q_n, t_n, Xw_n, lam_n, nu_n, F_n, rho, qq = inner_damping(
+                    q_c, t_c, Xw_c, sys, lam0, nu, F0
+                )
+                trace = trace.at[it].set(F_n)
+                done_now = (qq == MAXQ) | (rho < 1e-6) | (~jnp.isfinite(lam_n))
+                return (
+                    q_n, t_n, Xw_n, F_n, lam_n, nu_n, done_now, trace,
+                    n_done + 1, rho,
+                )
+
+            def skip(args):
+                q_c, t_c, Xw_c, F, lam, nu, trace, n_done = args
+                return (
+                    q_c, t_c, Xw_c, F, lam, nu, jnp.asarray(True), trace,
+                    n_done, rho_last,
+                )
+
+            return jax.lax.cond(
+                done, skip, run, (q_c, t_c, Xw_c, F, lam, nu, trace, n_done)
+            )
+
+        F0 = chi_only(q, t, Xw, ed)
+        trace0 = jnp.zeros((niterations,), dtype)
+        carry = (
+            q, t, Xw, F0, jnp.asarray(0.0, dtype), jnp.asarray(2.0, dtype),
+            jnp.asarray(False), trace0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(-1.0, dtype),
+        )
+        q_f, t_f, Xw_f, F_f, lam_f, nu_f, done, trace, n_done, rho = (
+            jax.lax.fori_loop(0, niterations, one_iteration, carry)
+        )
+        return q_f, t_f, Xw_f, trace, n_done
+
+    sharded = jax.shard_map(
+        _opt,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(axis), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def optimize(q, t, Xw_sh):
+        return sharded(
+            q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
+            sp.active, sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
+            sp.diag_pos, sp.pc,
+        )
+
+    return optimize
 
 
 def distributed_optimize(
     mesh: Mesh, sp: ShardedProblem, niterations: int, rk: int = 0, delta: float = 1.0
 ):
     """Distributed LM loop (same accept/reject semantics as the single-chip
-    optimiser).  Returns the chi2 trace and the final state."""
-    import math
-
-    step = make_distributed_lm_step(mesh, sp, rk, delta)
-    q, t, Xw = sp.pose_q, sp.pose_t, sp.Xw
-
-    # initial lambda: tau * max diagonal, computed from one probe step's system
-    # (cheap approximation: use chi-based tau scaling like the single-chip path
-    # would; here we simply run with tau * max diag via a dedicated pass)
-    lam = None
-    nu = 2.0
-    F = None
-    trace = []
-    for it in range(niterations):
-        if lam is None:
-            lam = 1e-5 * _max_diagonal(mesh, sp, q, t, Xw, rk, delta)
-        rho = -1.0
-        qcnt = 0
-        while qcnt < 10 and rho < 0:
-            q2, t2, Xw2, chi0, chi1, scale, success = step(q, t, Xw, lam)
-            F = float(chi0)
-            Fhat = float(chi1)
-            sc = float(scale) + 1e-3
-            Fdiff = Fhat - F
-            rho = (F - Fhat) / sc if bool(success) else -1.0
-            if rho > 0:
-                x = 2.0 * rho - 1.0
-                lam *= min(max(1.0 - x * x * x, 1.0 / 3.0), 2.0 / 3.0)
-                nu = 2.0
-                q, t, Xw = q2, t2, Xw2
-                F = Fhat
-                break
-            else:
-                lam *= nu
-                nu *= 2.0
-                if not math.isfinite(lam) or Fdiff < 1e-4:
-                    break
-                qcnt += 1
-        trace.append(F)
-        if qcnt == 10 or rho < 1e-6 or not math.isfinite(lam):
-            break
-    return trace, (q, t, Xw)
+    optimiser), fused into ONE device dispatch.  Returns the chi2 trace and
+    the final state."""
+    opt = make_distributed_optimize_fused(mesh, sp, niterations, rk, delta)
+    q, t, Xw, trace, n_done = opt(sp.pose_q, sp.pose_t, sp.Xw)
+    n = int(n_done)
+    return [float(x) for x in trace[:n]], (q, t, Xw)
 
 
-def _max_diagonal(mesh, sp, q, t, Xw, rk, delta):
-    """Replicated max Hessian diagonal over the mesh."""
-    axis = mesh.axis_names[0]
-    model = MODEL_REGISTRY[sp.kind]
-    Pa, Ls = sp.num_active_poses, sp.lms_per_shard
-
-    def _md(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active):
-        class _D:
-            pose_xp = None
-            lm_xp = None
-            pass
-
-        data = _D()
-        data.meas, data.omega, data.cam = meas, omega, cam
-        data.pose_idx, data.lm_idx, data.active = pose_idx, lm_local, active
-        data.free_p = (pose_idx < Pa).astype(omega.dtype)
-        data.free_l = jnp.ones_like(omega)
-        graph = GraphArrays(q=q, t=t, Xw=Xw)
-        pose_stack, lm_stack, _ = model.terms(graph, data, rk, delta)
-        pose_acc = jax.lax.psum(
-            segment_sum(pose_stack, pose_idx, num_segments=Pa), axis
-        )
-        lm_acc = segment_sum(lm_stack, lm_local, num_segments=Ls)
-        diag_p = pose_acc[:, (0, 7, 14, 21, 28, 35)]
-        diag_l = lm_acc[:, (0, 4, 8)]
-        m = jnp.maximum(jnp.max(diag_p), jnp.max(diag_l))
-        return jax.lax.pmax(m, axis)
-
-    fn = jax.shard_map(
-        _md,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(axis), P(None, axis), P(axis), P(None, axis),
-            P(axis), P(axis), P(axis),
-        ),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return float(
-        jax.jit(fn)(
-            q, t, Xw, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local, sp.active
-        )
-    )
+def gather_landmarks(sp: ShardedProblem, Xw_sh) -> np.ndarray:
+    """Undo the round-robin landmark sharding: ``[D*Ls, 3]`` -> original order."""
+    D, Ls = sp.num_shards, sp.lms_per_shard
+    Xw = np.asarray(Xw_sh).reshape(D, Ls, 3)
+    lm_shard = np.arange(D * Ls) % D
+    lm_local = np.arange(D * Ls) // D
+    return Xw[lm_shard, lm_local]
