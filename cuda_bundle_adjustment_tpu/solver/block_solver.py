@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ops import segment_sum
 
-from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet
+from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet, Se3
 from ..models import MODEL_REGISTRY
 from ..ops.linalg import add_lambda, block_diag_solve
 from ..ops.lie import se3_exp, se3_update_left
@@ -98,6 +98,33 @@ class SchurPlan(NamedTuple):
     band: object = None  # BandMeta | None: banded Hsc -> Pallas band solver
     chunk_pose: object = None  # int32 [M] pose per (class, slot, chunk) row
     pcg: object = None  # PcgPlan | None: wide-pattern fallback (solver/pcg.py)
+
+
+def _ids_to_indices(sets, ids):
+    """Vectorised vertex-id -> GLOBAL-index lookup across several vertex
+    sets (``Vertex.index`` is globally assigned by BlockSolver.initialize's
+    active-first reindex).  Ids must be unique across sets of one role."""
+    if len(sets) == 1:
+        return sets[0].index_of_ids(ids)
+    all_ids, all_idx = [], []
+    for vs in sets:
+        n = len(vs._vertices)
+        all_ids.append(np.fromiter(vs._vertices.keys(), dtype=np.int64, count=n))
+        all_idx.append(
+            np.fromiter(
+                (v.index for v in vs._vertices.values()), dtype=np.int64, count=n
+            )
+        )
+    cat_ids = np.concatenate(all_ids)
+    cat_idx = np.concatenate(all_idx)
+    order = np.argsort(cat_ids)
+    sorted_ids = cat_ids[order]
+    ids = np.asarray(ids, dtype=np.int64)
+    pos = np.searchsorted(sorted_ids, ids)
+    n = sorted_ids.size
+    if np.any(pos >= n) or np.any(sorted_ids[np.minimum(pos, n - 1)] != ids):
+        raise KeyError("edge references a vertex id not in any set")
+    return cat_idx[order][pos]
 
 
 def _merge_ba_specs(edge_specs):
@@ -818,6 +845,10 @@ class BlockSolver:
         self._fns = None
         self._pose_set: Optional[PoseVertexSet] = None
         self._lm_set: Optional[LandmarkVertexSet] = None
+        self._pose_sets: list[PoseVertexSet] = []
+        self._lm_sets: list[LandmarkVertexSet] = []
+        self._obj_Pa = 0
+        self._obj_La = 0
         self._edge_sets: list[EdgeSet] = []
         self._host_idx: list[tuple[np.ndarray, np.ndarray]] = []
         self._spec_thresholds: list = []  # array path: per-spec outlier thr
@@ -832,33 +863,55 @@ class BlockSolver:
         Routes through :meth:`initialize_from_arrays` so object-API graphs
         get the same fast path as array problems — co-visibility group
         layout, RCM ordering, mono+stereo merging (round 1 built the layout
-        only for array inputs)."""
+        only for array inputs).
+
+        Any number of pose and landmark vertex sets is supported (the
+        reference iterates arbitrary vertex sets, block_solver.cpp:34,62-77):
+        sets concatenate into one global table with active-first indexing
+        ACROSS sets (all active vertices of every set first, then all fixed
+        ones), and ``Vertex.index`` is reassigned to the global index."""
         pose_sets = [v for v in vertex_sets if not v.is_marginilised()]
         lm_sets = [v for v in vertex_sets if v.is_marginilised()]
-        if len(pose_sets) != 1 or len(lm_sets) > 1:
-            raise ValueError(
-                "BlockSolver supports exactly one pose vertex set and at most "
-                "one landmark vertex set"
-            )
-        pose_set = pose_sets[0]
-        lm_set = lm_sets[0] if lm_sets else None
+        if not pose_sets:
+            raise ValueError("BlockSolver requires at least one pose vertex set")
         live_sets = [es for es in edge_sets if es.nedges() > 0]
 
-        pose_set.generate_estimate_data()
-        q, t = pose_set.estimates_array()
-        Pa = pose_set.get_active_size()
+        def reindex(sets):
+            """Global active-first index assignment over several sets."""
+            for vs in sets:
+                vs.generate_estimate_data()
+            i = 0
+            for vs in sets:
+                for v in vs.ordered[: vs.get_active_size()]:
+                    v.index = i
+                    i += 1
+            na = i
+            for vs in sets:
+                for v in vs.ordered[vs.get_active_size() :]:
+                    v.index = i
+                    i += 1
+            return na, i
 
-        if lm_set is not None and len(lm_set) > 0:
-            lm_set.generate_estimate_data()
-            Xw = lm_set.estimates_array()
-            La = lm_set.get_active_size()
-        else:
-            Xw = np.zeros((0, 3), dtype=np.float64)
-            La = 0
+        Pa, P = reindex(pose_sets)
+        q = np.empty((P, 4), dtype=np.float64)
+        t = np.empty((P, 3), dtype=np.float64)
+        for vs in pose_sets:
+            for v in vs.ordered:
+                q[v.index] = v.estimate.q
+                t[v.index] = v.estimate.t
+
+        La, L = reindex(lm_sets) if lm_sets else (0, 0)
+        Xw = np.empty((L, 3), dtype=np.float64)
+        for vs in lm_sets:
+            for v in vs.ordered:
+                Xw[v.index] = v.estimate
 
         # the spec builder reads the vertex sets for bulk id lookups
-        self._pose_set = pose_set
-        self._lm_set = lm_set
+        self._pose_sets = pose_sets
+        self._lm_sets = lm_sets
+        self._pose_set = pose_sets[0] if len(pose_sets) == 1 else None
+        self._lm_set = lm_sets[0] if len(lm_sets) == 1 else None
+        self._obj_Pa, self._obj_La = Pa, La
         specs = [self._spec_from_edge_set(es) for es in live_sets]
         self.initialize_from_arrays(
             pose_q=q, pose_t=t, num_active_poses=Pa,
@@ -866,8 +919,10 @@ class BlockSolver:
         )
         # restore the object references initialize_from_arrays cleared so
         # finalize()/update_edges() can write back into the graph objects
-        self._pose_set = pose_set
-        self._lm_set = lm_set
+        self._pose_sets = pose_sets
+        self._lm_sets = lm_sets
+        self._pose_set = pose_sets[0] if len(pose_sets) == 1 else None
+        self._lm_set = lm_sets[0] if len(lm_sets) == 1 else None
         self._edge_sets = live_sets
 
     def initialize_from_arrays(
@@ -887,6 +942,8 @@ class BlockSolver:
         """
         self._pose_set = None
         self._lm_set = None
+        self._pose_sets = []
+        self._lm_sets = []
         self._edge_sets = []
         self._host_idx = []
         self._spec_thresholds = []
@@ -1162,12 +1219,10 @@ class BlockSolver:
         b = es._bulk
         if b is not None and b["meas"].shape[0]:
             Eb = b["meas"].shape[0]
-            pose_set = self._pose_set
-            lm_set = self._lm_set
-            pib = pose_set.index_of_ids(b["pose_id"])
+            pib = _ids_to_indices(self._pose_sets, b["pose_id"])
             lib = (
-                lm_set.index_of_ids(b["lm_id"])
-                if es.NVERTS == 2 and lm_set is not None
+                _ids_to_indices(self._lm_sets, b["lm_id"])
+                if es.NVERTS == 2 and self._lm_sets
                 else np.zeros(Eb, dtype=np.int64)
             )
             ob = (
@@ -1187,12 +1242,10 @@ class BlockSolver:
 
         # edges whose vertices are ALL fixed contribute nothing: mask them
         # (the reference drops them at pack time, optimisable_graph.hpp:487-504)
-        Pa = self._pose_set.get_active_size()
-        La = (
-            self._lm_set.get_active_size()
-            if (es.NVERTS == 2 and self._lm_set is not None)
-            else 0
-        )
+        # _obj_Pa/_obj_La are the GLOBAL active counts across all vertex sets
+        # (active-first global indexing, see initialize()).
+        Pa = self._obj_Pa
+        La = self._obj_La if es.NVERTS == 2 else 0
         if es.NVERTS == 1:
             all_fixed = pose_idx >= Pa
         else:
@@ -1572,13 +1625,25 @@ class BlockSolver:
     def finalize(self) -> None:
         """Download estimates back into the host vertex objects
         (block_solver.cpp:441-458)."""
-        if self._pose_set is None:
+        if not self._pose_sets:
             return  # array-initialized problems keep results in self.graph
         q, t = self.result_poses()  # undoes any RCM pose reordering
-        self._pose_set.write_back(q, t)
-        if self._lm_set is not None and self.L > 0:
+        if self._pose_set is not None:
+            # single set: global index == per-set ordered position
+            self._pose_set.write_back(q, t)
+        else:
+            for vs in self._pose_sets:
+                for v in vs.ordered:
+                    v.estimate = Se3(q[v.index], t[v.index])
+        if self._lm_sets and self.L > 0:
             # undoes the group layout's landmark renumbering/padding
-            self._lm_set.write_back(self.result_landmarks())
+            Xw = self.result_landmarks()
+            if self._lm_set is not None:
+                self._lm_set.write_back(Xw)
+            else:
+                for vs in self._lm_sets:
+                    for v in vs.ordered:
+                        v.estimate = Xw[v.index].copy()
 
     def nedges(self) -> int:
         return sum(m.nedges for m in self.metas)

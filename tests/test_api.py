@@ -230,3 +230,70 @@ def test_forgotten_per_edge_information_raises():
     opt.add_edge_set(edge_set)
     with pytest.raises(ValueError, match="per_edge_information"):
         opt.initialize()
+
+def test_multiple_vertex_sets():
+    """Splitting poses/landmarks across several vertex sets gives the same
+    optimisation as one set (the reference iterates arbitrary vertex sets,
+    block_solver.cpp:34,62-77; global active-first indexing across sets)."""
+    problem = make_ba_problem(
+        num_poses=8, num_landmarks=50, mean_obs_per_landmark=4.0, kind="mono", seed=7
+    )
+    Pa = problem.num_active_poses
+    cam = tba.Camera(*problem.cam.tolist())
+
+    def build(split):
+        if split:
+            pose_sets = [tba.PoseVertexSet(), tba.PoseVertexSet()]
+            lm_sets = [tba.LandmarkVertexSet(), tba.LandmarkVertexSet()]
+        else:
+            pose_sets = [tba.PoseVertexSet()]
+            lm_sets = [tba.LandmarkVertexSet()]
+        pverts, lverts = {}, {}
+        for i in range(problem.pose_q.shape[0]):
+            v = tba.PoseVertex(
+                i, tba.Se3(problem.pose_q[i], problem.pose_t[i]), i >= Pa
+            )
+            pose_sets[i % len(pose_sets)].add_vertex(v)
+            pverts[i] = v
+        for j in range(problem.landmarks.shape[0]):
+            v = tba.LandmarkVertex(1000 + j, problem.landmarks[j])
+            lm_sets[j % len(lm_sets)].add_vertex(v)
+            lverts[j] = v
+        es = tba.MonoEdgeSet()
+        es.set_camera(cam)
+        es.set_information(1.0)
+        for e in range(len(problem.pose_idx)):
+            edge = tba.MonoEdge()
+            edge.set_vertex(pverts[int(problem.pose_idx[e])], 0)
+            edge.set_vertex(lverts[int(problem.lm_idx[e])], 1)
+            edge.set_measurement(problem.meas[e])
+            es.add_edge(edge)
+        opt = tba.TpuGraphOptimisation.create()
+        for vs in pose_sets + lm_sets:
+            opt.add_vertex_set(vs)
+        opt.add_edge_set(es)
+        opt.initialize()
+        opt.optimize(4)
+        trace = [s.chi2 for s in opt.batch_statistics().get()]
+        return trace, pverts, lverts
+
+    trace1, pv1, lv1 = build(split=False)
+    trace2, pv2, lv2 = build(split=True)
+    np.testing.assert_allclose(trace2, trace1, rtol=1e-9)
+    # write-back agrees between the two set partitions for every vertex
+    for i in pv1:
+        np.testing.assert_allclose(
+            pv2[i].estimate.t, pv1[i].estimate.t, rtol=0, atol=1e-9
+        )
+    for j in lv1:
+        np.testing.assert_allclose(
+            lv2[j].estimate, lv1[j].estimate, rtol=0, atol=1e-9
+        )
+
+
+def test_no_pose_set_raises():
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(tba.LandmarkVertexSet())
+    opt.add_edge_set(tba.MonoEdgeSet())
+    with pytest.raises(ValueError):
+        opt.initialize()
