@@ -97,6 +97,8 @@ class TpuGraphOptimisation:
         self._optimize_host(niterations)
 
     def _optimize_fused(self, niterations: int) -> None:
+        import jax
+
         from .solver.fused import optimize_fused
 
         solver = self.solver
@@ -113,8 +115,11 @@ class TpuGraphOptimisation:
             solver.mixed,
         )
         solver.accept(res.graph)
-        n = int(res.num_iterations)
-        trace = [float(x) for x in res.trace[:n]]
+        # ONE device->host fetch for the whole trace: element iteration over
+        # a device array pays a full tunnel round-trip (~30-60 ms) PER SCALAR
+        trace_np, n_np = jax.device_get((res.trace, res.num_iterations))
+        n = int(n_np)
+        trace = [float(x) for x in trace_np[:n]]
         for it, chi2 in enumerate(trace):
             self.stats.add_stat(BatchInfo(it, chi2))
         solver.update_edges()

@@ -100,6 +100,19 @@ class SchurPlan(NamedTuple):
     pcg: object = None  # PcgPlan | None: wide-pattern fallback (solver/pcg.py)
 
 
+@functools.partial(jax.jit, static_argnames=("Pa", "La", "dtype"))
+def _derive_edge_masks(pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype):
+    """Derive the per-edge float masks ON DEVICE from the int32 indices and
+    1-byte masks: uploading them as f64 costs ~22 MB per KITTI-00-scale edge
+    set over the ~20-70 MB/s axon tunnel (free_p/free_l are pure functions
+    of the indices; active/mask3 are 0/1)."""
+    free_p = (pose_idx < Pa).astype(dtype)
+    free_l = (lm_idx < La).astype(dtype)
+    active = active_i8.astype(dtype)
+    mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
+    return free_p, free_l, active, mask3
+
+
 def _ids_to_indices(sets, ids):
     """Vectorised vertex-id -> GLOBAL-index lookup across several vertex
     sets (``Vertex.index`` is globally assigned by BlockSolver.initialize's
@@ -1075,7 +1088,7 @@ class BlockSolver:
                 src = np.where(dummy, 0, perm)
 
                 def _take(a, fill=0.0):
-                    out = a[src].copy()
+                    out = a[src]  # fancy indexing already copies
                     out[dummy] = fill
                     return out
 
@@ -1095,7 +1108,7 @@ class BlockSolver:
                 # the window covers the whole table, so index Pa reads the
                 # first FIXED pose's real state).  Landmark id = the slot's
                 # own position so landmark windows stay tight
-                pose_idx = _take(pose_idx).astype(np.int32)
+                pose_idx = _take(pose_idx).astype(np.int32, copy=False)
                 pose_idx[dummy] = self.Pa
                 new_lm = np.where(
                     lm_idx < self.La_real,
@@ -1116,16 +1129,32 @@ class BlockSolver:
                 lm_idx[dummy] = pos_in_class[dummy]
                 E = perm.size
 
+            # upload diet (the axon tunnel moves ~20-70 MB/s): the float
+            # masks are DERIVED on device from the int32 indices and a 1-byte
+            # active mask instead of uploading ~22 MB of f64 per edge set
+            pose_idx_dev = jnp.asarray(pose_idx)
+            lm_idx_dev = jnp.asarray(lm_idx)
+            free_p, free_l, active_dev, mask3_dev = _derive_edge_masks(
+                pose_idx_dev,
+                lm_idx_dev,
+                jnp.asarray((active > 0).astype(np.int8)),
+                None if mask3 is None else jnp.asarray(
+                    (mask3 > 0).astype(np.int8)
+                ),
+                self.Pa,
+                self.La,
+                dt,
+            )
             data = PackedEdges(
                 meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
                 omega=jnp.asarray(omega, dt),
                 cam=jnp.asarray(np.ascontiguousarray(cam.T), dt),
-                pose_idx=jnp.asarray(pose_idx),
-                lm_idx=jnp.asarray(lm_idx),
-                free_p=jnp.asarray((pose_idx < self.Pa).astype(np.float64), dt),
-                free_l=jnp.asarray((lm_idx < self.La).astype(np.float64), dt),
-                active=jnp.asarray(active, dt),
-                mask3=None if mask3 is None else jnp.asarray(mask3, dt),
+                pose_idx=pose_idx_dev,
+                lm_idx=lm_idx_dev,
+                free_p=free_p,
+                free_l=free_l,
+                active=active_dev,
+                mask3=mask3_dev,
             )
             meta = EdgeSetMeta(
                 kind=kind,
@@ -1395,9 +1424,25 @@ class BlockSolver:
                 s.tri_k, s.nnz_blocks, payloads=(s.tri_ei, s.tri_ej),
                 sentinel=Eba, sorted_ids=s.tri_sorted, pool=pool,
             )
+        # the BA index arrays already live on device inside PackedEdges —
+        # reuse them (device concat for multi-set) instead of re-uploading
+        # another ~7 MB through the tunnel
+        ba_idx_dev = [
+            (p.pose_idx, p.lm_idx)
+            for p, m in zip(self.packed, self.metas)
+            if m.has_landmark
+        ]
+        if len(ba_idx_dev) == 1:
+            ba_pose_dev, ba_lm_dev = ba_idx_dev[0]
+        elif ba_idx_dev:
+            ba_pose_dev = jnp.concatenate([p for p, _ in ba_idx_dev])
+            ba_lm_dev = jnp.concatenate([l for _, l in ba_idx_dev])
+        else:
+            ba_pose_dev = jnp.zeros(0, jnp.int32)
+            ba_lm_dev = jnp.zeros(0, jnp.int32)
         plan = SchurPlan(
-            ba_pose_idx=pool.add(ba_pose_idx.astype(np.int32)),
-            ba_lm_idx=pool.add(ba_lm_idx.astype(np.int32)),
+            ba_pose_idx=ba_pose_dev,
+            ba_lm_idx=ba_lm_dev,
             blk_row=pool.add(s.blk_row),
             blk_col=pool.add(s.blk_col),
             diag_pos=pool.add(s.diag_pos),

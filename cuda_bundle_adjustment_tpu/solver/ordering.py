@@ -117,9 +117,26 @@ def plan_pose_order(
     Returns ``(perm | None, bw_before, bw_after)`` with ``perm[i]`` = old
     index at new position ``i``.
     """
+    # cheap O(E) bandwidth bound first: every landmark's (min, max) observing
+    # pose IS one of the pairs and dominates that landmark's contribution, so
+    # bw = max_l (max_p(l) - min_p(l)).  The full pair enumeration (lexsort +
+    # unique over ~2 E keys, ~0.3 s at KITTI-00 scale on this host) only runs
+    # when the graph actually needs reordering.
+    pi = np.asarray(pose_idx, dtype=np.int64)
+    li = np.asarray(lm_idx, dtype=np.int64)
+    both = (pi < Pa) & (li < La)
+    p, l = pi[both], li[both]
+    if p.size == 0:
+        return None, 0, 0
+    pmin = np.full(La, Pa, dtype=np.int64)
+    pmax = np.full(La, -1, dtype=np.int64)
+    np.minimum.at(pmin, l, p)
+    np.maximum.at(pmax, l, p)
+    bw0 = int(np.max(np.where(pmax >= 0, pmax - pmin, 0)))
+    if bw0 + 1 <= band_limit:
+        return None, bw0, bw0
     keys = pose_pairs(pose_idx, lm_idx, Pa, La)
-    bw0 = block_bandwidth(keys, Pa)
-    if bw0 + 1 <= band_limit or keys.size == 0:
+    if keys.size == 0:
         return None, bw0, bw0
     perm = rcm_order(keys, Pa)
     new_of_old = np.empty(Pa, dtype=np.int64)
