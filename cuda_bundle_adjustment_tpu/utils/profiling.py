@@ -50,12 +50,18 @@ class StageTimer:
         t0 = time.perf_counter()
         yield
         if sync is not None:
-            try:
-                import jax
+            import jax
 
-                jax.block_until_ready(sync() if callable(sync) else sync)
-            except Exception:
-                pass
+            # NameError/UnboundLocalError only: a ``sync=lambda: x`` thunk
+            # legitimately refers to a name the stage body never bound on
+            # early-exit paths; anything else (device error, bad array)
+            # must propagate, not be silently timed away
+            try:
+                val = sync() if callable(sync) else sync
+            except (NameError, UnboundLocalError):
+                val = None
+            if val is not None:
+                jax.block_until_ready(val)
         self.profile[name] = self.profile.get(name, 0.0) + (time.perf_counter() - t0) * 1e3
 
     def add(self, name: str, millis: float) -> None:
