@@ -1329,7 +1329,17 @@ class BlockSolver:
         import time as _time
 
         lay = self.group_layout
-        use_kernel = lay is not None and jax.default_backend() != "cpu"
+        # TBA_DISABLE_SCHUR_KERNEL=1 forces the bucketed triple-product
+        # fallback on TPU — a rollback switch, also used by tools/tpu_parity
+        # to compare the Mosaic kernel against the XLA float-float path on
+        # identical inputs
+        import os as _os
+
+        use_kernel = (
+            lay is not None
+            and jax.default_backend() != "cpu"
+            and not _os.environ.get("TBA_DISABLE_SCHUR_KERNEL")
+        )
 
         t0 = _time.perf_counter()
         if use_kernel:
