@@ -55,7 +55,7 @@ def make_problem(config: str):
     raise SystemExit(f"unknown config {config!r}; choose from {list(BASELINES)}")
 
 
-def run_config(config: str, niters: int = 10, repeats: int = 2) -> dict:
+def run_config(config: str, niters: int = 10, repeats: int = 3) -> dict:
     import jax
 
     from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
@@ -83,6 +83,7 @@ def run_config(config: str, niters: int = 10, repeats: int = 2) -> dict:
         jax.block_until_ready(opt.solver.graph.q)
         _ = opt.batch_statistics().get()[-1].chi2  # force the pipeline
         times.append(time.perf_counter() - t0)
+    print(f"repeats: {[round(t, 4) for t in times]}", file=sys.stderr)
     elapsed = min(times)
 
     trace = [s.chi2 for s in opt.batch_statistics().get()]

@@ -86,7 +86,7 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges, pose_state=None):
             XwT = graph.Xw.T  # [3, L]
             parts = []
             for cm in data.lm_slot.classes:
-                S = data.lm_slot.gc * cm.nc_pad
+                S = cm.gc * cm.nc_pad
                 cls = jax.lax.slice_in_dim(
                     XwT, cm.lm_start, cm.lm_start + S, axis=1
                 )

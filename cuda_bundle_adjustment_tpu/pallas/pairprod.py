@@ -225,16 +225,16 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
 
     rows = []
     for ci, cm in enumerate(layout.classes):
-        span = cm.d * layout.gc * cm.nc_pad
-        shape = (18, cm.d, layout.gc, cm.nc_pad)
+        span = cm.d * cm.gc * cm.nc_pad
+        shape = (18, cm.d, cm.gc, cm.nc_pad)
         ch = jax.lax.slice_in_dim(
             hhi, cm.e_start, cm.e_start + span, axis=1
         ).reshape(shape)
         chl = jax.lax.slice_in_dim(
             hlo, cm.e_start, cm.e_start + span, axis=1
         ).reshape(shape)
-        S = layout.gc * cm.nc_pad
-        ish = (9, layout.gc, cm.nc_pad)
+        S = cm.gc * cm.nc_pad
+        ish = (9, cm.gc, cm.nc_pad)
         cih = jax.lax.slice_in_dim(
             ihi, cm.lm_start, cm.lm_start + S, axis=1
         ).reshape(ish)
@@ -244,7 +244,7 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
         oh, ol = _pairprod_call_v2(
             ch, chl, cih, cil,
             plan.class_a[ci], plan.class_b[ci],
-            cm.d, layout.gc, interpret=interpret,
+            cm.d, cm.gc, interpret=interpret,
         )
         out = oh.astype(dtype) + ol.astype(dtype)
         rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))

@@ -239,7 +239,7 @@ def _lm_slot_sum(X, plan, num_active_landmarks):
     parts = []
     covered = 0
     for cm in lay.classes:
-        S = lay.gc * cm.nc_pad
+        S = cm.gc * cm.nc_pad
         seg = jax.lax.slice_in_dim(X, cm.e_start, cm.e_start + cm.d * S, axis=0)
         parts.append(seg.reshape(cm.d, S, K).sum(axis=0))
         covered += S
@@ -265,7 +265,7 @@ def _lm_slot_expand(tbl, plan):
     lay = plan.layout
     parts = []
     for cm in lay.classes:
-        S = lay.gc * cm.nc_pad
+        S = cm.gc * cm.nc_pad
         cls = jax.lax.slice_in_dim(tbl, cm.lm_start, cm.lm_start + S, axis=0)
         parts.append(jnp.tile(cls, (cm.d, 1)))
     if lay.n_extras:
@@ -284,10 +284,10 @@ def _pose_chunk_presum(X, plan):
     K = X.shape[1]
     parts = []
     for cm in lay.classes:
-        S = lay.gc * cm.nc_pad
+        S = cm.gc * cm.nc_pad
         seg = jax.lax.slice_in_dim(X, cm.e_start, cm.e_start + cm.d * S, axis=0)
         parts.append(
-            seg.reshape(cm.d, lay.gc, cm.nc_pad, K)
+            seg.reshape(cm.d, cm.gc, cm.nc_pad, K)
             .sum(axis=1)
             .reshape(cm.d * cm.nc_pad, K)
         )
@@ -739,8 +739,8 @@ def schur_back_substitute(
             parts.append(
                 jnp.broadcast_to(
                     seg.reshape(cm.d, 1, cm.nc_pad, 6),
-                    (cm.d, lay.gc, cm.nc_pad, 6),
-                ).reshape(cm.d * lay.gc * cm.nc_pad, 6)
+                    (cm.d, cm.gc, cm.nc_pad, 6),
+                ).reshape(cm.d * cm.gc * cm.nc_pad, 6)
             )
             off += rows
         if lay.n_extras:
@@ -1119,7 +1119,7 @@ class BlockSolver:
                 # dummy landmark index = the dummy slot's own position
                 pos_in_class = np.full(perm.size, 0, dtype=np.int32)
                 for cm in lay.meta.classes:
-                    S = lay.meta.gc * cm.nc_pad
+                    S = cm.gc * cm.nc_pad
                     span = cm.d * S
                     sl = slice(cm.e_start, cm.e_start + span)
                     pos_in_class[sl] = (

@@ -44,13 +44,14 @@ class ClassMeta(NamedTuple):
     lm_start: int  # first landmark position of this class
     npairs: int  # d * (d + 1) // 2
     out_start: int  # first flat output row (p * nc_pad + c ordering)
+    gc: int = 8  # chunk width of THIS class (see _choose_gc)
 
 
 class GroupLayoutMeta(NamedTuple):
     """Static (hashable) layout summary, passed through jit as a static arg."""
 
     classes: tuple[ClassMeta, ...]
-    gc: int  # chunk width (group members reduced per output row)
+    gc: int  # maximum chunk width (per-class widths live in ClassMeta.gc)
     e_classes: int  # total class-region edge rows (dummies included)
     e_total: int  # class rows + extras rows
     la_pad: int  # landmark positions incl. dummies and the d=0 region
@@ -86,6 +87,30 @@ class GroupLayout(NamedTuple):
     # reductions pre-sum members densely; -1 for dummy chunks
     # (pairs a != b whose chunk pose tuple has s_a == s_b: they hit a
     # diagonal block, which densify never mirrors — symbolic.py:117-128)
+
+
+def _choose_gc(gsizes: np.ndarray, d: int, gc_max: int, tile_n: int) -> int:
+    """Pick this class's chunk width from {1, 2, 4, ..., gc_max}.
+
+    The tradeoff (measured on v5e, see NEXT_STEPS.md): every padded EDGE row
+    costs ~35 ns/LM-iteration in the per-edge stages (residuals, Jacobians,
+    block stacks), every kernel OUTPUT row ~63 ns (pair product + the
+    gather-reduce into Hsc blocks).  High-degree classes have tiny
+    co-visibility groups (mostly singletons), where gc=8 pads edges 4-8x for
+    no output-row benefit; low-degree classes have big groups that amortise
+    wide chunks.  Minimise the modelled per-iteration cost per class."""
+    EDGE_NS, OUT_NS = 35.0, 63.0
+    npairs = d * (d + 1) // 2
+    best_g, best_cost = 1, None
+    g = 1
+    while g <= gc_max:
+        nc = int((-(-gsizes // g)).sum())
+        nc_pad = -(-nc // tile_n) * tile_n
+        cost = EDGE_NS * d * g * nc_pad + OUT_NS * npairs * nc_pad
+        if best_cost is None or cost < best_cost:
+            best_g, best_cost = g, cost
+        g *= 2
+    return best_g
 
 
 def build_group_layout(
@@ -147,13 +172,15 @@ def build_group_layout(
         if Ld > 1:
             new_group[1:] = np.any(tup_s[1:] != tup_s[:-1], axis=1)
         gid = np.cumsum(new_group) - 1
+        gsizes = np.bincount(gid)
+        g = _choose_gc(gsizes, d, gc, tile_n)  # THIS class's chunk width
         # member index within group, then chunk id / member-within-chunk
         g_start_pos = np.nonzero(new_group)[0]
         member = np.arange(Ld) - g_start_pos[gid]
-        chunk_of_group = member // gc  # chunk index *within* the group
-        m = member % gc
-        # global chunk ids: groups contribute ceil(G/gc) chunks each, in order
-        chunks_per_group = -(-np.bincount(gid) // gc)
+        chunk_of_group = member // g  # chunk index *within* the group
+        m = member % g
+        # global chunk ids: groups contribute ceil(G/g) chunks each, in order
+        chunks_per_group = -(-gsizes // g)
         chunk_base = np.concatenate([[0], np.cumsum(chunks_per_group)])
         c = chunk_base[gid] + chunk_of_group
         nc = int(chunk_base[-1])
@@ -167,13 +194,13 @@ def build_group_layout(
         # landmark positions: lm_start + m * nc_pad + c
         pos = lm_cursor + m * nc_pad + c
         lm_renumber[lms_s] = pos
-        lo = np.full(gc * nc_pad, -1, dtype=np.int64)
+        lo = np.full(g * nc_pad, -1, dtype=np.int64)
         lo[pos - lm_cursor] = lms_s
         lm_order_parts.append(lo)
 
-        # edge rows: e_start + a * (gc * nc_pad) + m * nc_pad + c
-        ep = np.full(d * gc * nc_pad, -1, dtype=np.int64)
-        slot_stride = gc * nc_pad
+        # edge rows: e_start + a * (g * nc_pad) + m * nc_pad + c
+        ep = np.full(d * g * nc_pad, -1, dtype=np.int64)
+        slot_stride = g * nc_pad
         for a in range(d):
             ep[a * slot_stride + (m * nc_pad + c)] = eid_s[:, a]
         perm_parts.append(ep)
@@ -204,10 +231,11 @@ def build_group_layout(
                 lm_start=lm_cursor,
                 npairs=npairs,
                 out_start=out_cursor,
+                gc=g,
             )
         )
-        e_cursor += d * gc * nc_pad
-        lm_cursor += gc * nc_pad
+        e_cursor += d * g * nc_pad
+        lm_cursor += g * nc_pad
         out_cursor += npairs * nc_pad
 
     # d = 0 region: free landmarks with no both-free observations

@@ -30,7 +30,7 @@ def test_layout_invariants():
     # slot-major consistency: slot a of class d holds each landmark's a-th
     # both-free edge at the landmark's own layout position
     for cm in m.classes:
-        S = m.gc * cm.nc_pad
+        S = cm.gc * cm.nc_pad
         for a in range(cm.d):
             seg = perm[cm.e_start + a * S : cm.e_start + (a + 1) * S]
             rows = np.nonzero(seg >= 0)[0]

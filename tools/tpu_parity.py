@@ -140,11 +140,11 @@ def _oracle_exactness() -> bool:
         rows_k = np.asarray(
             schur_pair_rows_v2(jnp.asarray(Hpl), jnp.asarray(invH), plan)
         )
-        gc = lay.gc
         HplL = Hpl.astype(np.longdouble)
         invL = invH.astype(np.longdouble)
         worst = 0.0
         for ci, cm in enumerate(lay.classes):
+            gc = cm.gc
             S = gc * cm.nc_pad
             base = cm.e_start
             Wl = np.empty((cm.d, S, 18), dtype=np.longdouble)
