@@ -625,7 +625,12 @@ def _solve_reduced_blocks(
             flat_mtv_6x6(bl_s * offm, xv[brow]), bcol, num_segments=Pa
         )
 
-    for _ in range(3):
+    # two rounds suffice for LM-damped, Jacobi-scaled systems (~1e-11 rel;
+    # each round contracts the error by ~kappa_scaled * 2^-24 ~ 1e-4) — the
+    # residual check below still REJECTS any solve the trim would hurt, so
+    # correctness semantics are unchanged (LM re-damps, like the reference's
+    # zero-pivot path)
+    for _ in range(2):
         x = x + tri_solve(bv - matvec(x))
 
     # success requires an actually-converged refinement, not just finiteness:
