@@ -75,7 +75,7 @@ def main(argv: list[str]) -> int:
     sp = shard_problem(problem, want)
     print(f"mesh: {want} x {devices[0].platform} | "
           f"P={problem.pose_q.shape[0]} L={problem.landmarks.shape[0]} "
-          f"E={problem.meas.shape[0]} | per-shard E={sp.meas.shape[1]}")
+          f"E={problem.meas.shape[0]} | per-shard E={sp.edges_per_shard}")
 
     t0 = time.perf_counter()
     trace, (q, t, Xw) = distributed_optimize(mesh, sp, niter)
