@@ -55,7 +55,7 @@ def make_problem(config: str):
     raise SystemExit(f"unknown config {config!r}; choose from {list(BASELINES)}")
 
 
-def run_config(config: str, niters: int = 10, repeats: int = 3) -> dict:
+def run_config(config: str, niters: int = 10, repeats: int = 4) -> dict:
     import jax
 
     from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
