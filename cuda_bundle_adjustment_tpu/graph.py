@@ -143,6 +143,14 @@ class VertexSet:
         self._vertices: dict[int, BaseVertex] = {}
         self.active_size = 0
         self._ordered: list[BaseVertex] = []
+        # bulk (array) vertices: no per-vertex Python objects.  Set by
+        # add_vertices_bulk; None when the set is object-only.
+        self._bulk_ids: Optional[np.ndarray] = None  # [Nb] int64
+        self._bulk_fixed: Optional[np.ndarray] = None  # [Nb] bool
+        self._bulk_index: Optional[np.ndarray] = None  # [Nb] PER-SET dense idx
+        self._bulk_gindex: Optional[np.ndarray] = None  # [Nb] GLOBAL idx
+        self._gmap: Optional[np.ndarray] = None  # per-set -> global map
+        self._n_oa = self._n_ba = self._n_of = self._n_bf = 0
 
     def add_vertex(self, vertex: BaseVertex) -> None:
         self._vertices[vertex.id] = vertex
@@ -154,29 +162,81 @@ class VertexSet:
         return self._vertices.pop(vertex.id, None) is not None
 
     def __len__(self) -> int:
-        return len(self._vertices)
+        return self.total_size()
 
     def size(self) -> int:
-        return len(self._vertices)
+        return self.total_size()
 
     def is_marginilised(self) -> bool:
         return self.marginilised
 
-    def generate_estimate_data(self) -> list[BaseVertex]:
-        """Assign dense indices: active (non-fixed) first, fixed appended.
+    def _add_bulk(self, ids, fixed) -> int:
+        """Shared bulk bookkeeping; returns the bulk row count added."""
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if fixed is None:
+            fixed = np.zeros(ids.size, dtype=bool)
+        else:
+            fixed = (
+                np.broadcast_to(np.asarray(fixed, dtype=bool), (ids.size,))
+                .copy()
+            )
+        if self._bulk_ids is None:
+            self._bulk_ids, self._bulk_fixed = ids, fixed
+        else:
+            self._bulk_ids = np.concatenate([self._bulk_ids, ids])
+            self._bulk_fixed = np.concatenate([self._bulk_fixed, fixed])
+        return ids.size
 
-        Matches the reference's index layout (optimisable_graph.hpp:85-126) so
-        fixed vertices never receive solver increments.
+    def total_size(self) -> int:
+        nb = 0 if self._bulk_ids is None else self._bulk_ids.size
+        return len(self._vertices) + nb
+
+    def generate_estimate_data(self) -> list[BaseVertex]:
+        """Assign PER-SET dense indices: active (non-fixed) first, fixed
+        appended — per-set order is [object actives, bulk actives, object
+        fixed, bulk fixed].  Matches the reference's index layout
+        (optimisable_graph.hpp:85-126) so fixed vertices never receive
+        solver increments.  ``BlockSolver.initialize`` remaps these to
+        GLOBAL indices via :meth:`assign_global_indices`.
         """
         active = [v for v in self._vertices.values() if not v.fixed]
         fixed = [v for v in self._vertices.values() if v.fixed]
+        self._n_oa, self._n_of = len(active), len(fixed)
+        if self._bulk_ids is not None:
+            bf = self._bulk_fixed
+            self._n_ba = int((~bf).sum())
+            self._n_bf = int(bf.sum())
+            idx = np.empty(bf.size, dtype=np.int64)
+            idx[~bf] = self._n_oa + np.arange(self._n_ba)
+            idx[bf] = (
+                self._n_oa + self._n_ba + self._n_of + np.arange(self._n_bf)
+            )
+            self._bulk_index = idx
+        else:
+            self._n_ba = self._n_bf = 0
+            self._bulk_index = None
         for i, v in enumerate(active):
             v.index = i
         for i, v in enumerate(fixed):
-            v.index = len(active) + i
-        self.active_size = len(active)
+            v.index = self._n_oa + self._n_ba + i
+        self.active_size = self._n_oa + self._n_ba
         self._ordered = active + fixed
         return self._ordered
+
+    def assign_global_indices(self, gmap: np.ndarray) -> None:
+        """Remap per-set indices to global ones (``gmap[set_idx] = global``);
+        called once by BlockSolver.initialize after every set is sized."""
+        for v in self._ordered:
+            v.index = int(gmap[v.index])
+        if self._bulk_index is not None:
+            self._bulk_gindex = gmap[self._bulk_index]
+        self._gmap = gmap
+
+    def _set_positions_of_objects(self) -> np.ndarray:
+        """Per-set positions of the object vertices in ``_ordered`` order."""
+        pos = np.arange(len(self._ordered), dtype=np.int64)
+        pos[self._n_oa :] += self._n_ba  # fixed objects sit past bulk actives
+        return pos
 
     @property
     def ordered(self) -> list[BaseVertex]:
@@ -186,7 +246,8 @@ class VertexSet:
         return self.active_size
 
     def index_of_ids(self, ids):
-        """Vectorised vertex-id -> dense-index lookup (bulk edge packing)."""
+        """Vectorised vertex-id -> GLOBAL-index lookup (bulk edge packing).
+        Valid after initialize(); covers object AND bulk vertices."""
         import numpy as _np
 
         n = len(self._vertices)
@@ -194,8 +255,17 @@ class VertexSet:
         all_idx = _np.fromiter(
             (v.index for v in self._vertices.values()), dtype=_np.int64, count=n
         )
+        if self._bulk_ids is not None:
+            all_ids = _np.concatenate([all_ids, self._bulk_ids])
+            gb = (
+                self._bulk_gindex
+                if self._bulk_gindex is not None
+                else self._bulk_index
+            )
+            all_idx = _np.concatenate([all_idx, gb])
         order = _np.argsort(all_ids)
         sorted_ids = all_ids[order]
+        n = sorted_ids.size
         pos = _np.searchsorted(sorted_ids, _np.asarray(ids, dtype=_np.int64))
         if _np.any(pos >= n) or _np.any(sorted_ids[_np.minimum(pos, n - 1)] != ids):
             raise KeyError("edge references a vertex id not in the set")
@@ -212,36 +282,83 @@ class VertexSet:
 class PoseVertexSet(VertexSet):
     def __init__(self, marginilised: bool = False):
         super().__init__(marginilised)
+        self._bulk_q: Optional[np.ndarray] = None
+        self._bulk_t: Optional[np.ndarray] = None
+
+    def add_vertices_bulk(self, ids, q, t, fixed=None) -> None:
+        """Bulk-append pose vertices as arrays (no per-vertex objects):
+        ``ids [N]``, ``q [N, 4]`` (xyzw), ``t [N, 3]``, ``fixed [N]`` bool
+        (or scalar; default all-free).  Mixes with :meth:`add_vertex`."""
+        n = self._add_bulk(ids, fixed)
+        q = np.asarray(q, dtype=np.float64).reshape(n, 4)
+        t = np.asarray(t, dtype=np.float64).reshape(n, 3)
+        if self._bulk_q is None:
+            self._bulk_q, self._bulk_t = q.copy(), t.copy()
+        else:
+            self._bulk_q = np.concatenate([self._bulk_q, q])
+            self._bulk_t = np.concatenate([self._bulk_t, t])
 
     def estimates_array(self) -> tuple[np.ndarray, np.ndarray]:
-        """Pack ordered estimates into ``(q [P, 4], t [P, 3])``."""
-        P = len(self._ordered)
+        """Pack estimates into per-set order ``(q [P, 4], t [P, 3])``."""
+        P = self.total_size()
         q = np.empty((P, 4), dtype=np.float64)
         t = np.empty((P, 3), dtype=np.float64)
+        pos = self._set_positions_of_objects()
         for i, v in enumerate(self._ordered):
-            q[i] = v.estimate.q
-            t[i] = v.estimate.t
+            q[pos[i]] = v.estimate.q
+            t[pos[i]] = v.estimate.t
+        if self._bulk_index is not None:
+            q[self._bulk_index] = self._bulk_q
+            t[self._bulk_index] = self._bulk_t
         return q, t
 
     def write_back(self, q: np.ndarray, t: np.ndarray) -> None:
-        for i, v in enumerate(self._ordered):
-            v.estimate = Se3(q[i], t[i])
+        """Write optimised estimates back from GLOBAL-indexed arrays."""
+        for v in self._ordered:
+            v.estimate = Se3(q[v.index], t[v.index])
+        if self._bulk_gindex is not None:
+            self._bulk_q = np.asarray(q)[self._bulk_gindex].copy()
+            self._bulk_t = np.asarray(t)[self._bulk_gindex].copy()
+
+    def bulk_estimates(self) -> tuple[np.ndarray, np.ndarray]:
+        """(q, t) of the bulk vertices, input order (post-optimize values
+        after finalize)."""
+        return self._bulk_q, self._bulk_t
 
 
 class LandmarkVertexSet(VertexSet):
     def __init__(self, marginilised: bool = True):
         super().__init__(marginilised)
+        self._bulk_X: Optional[np.ndarray] = None
+
+    def add_vertices_bulk(self, ids, estimates, fixed=None) -> None:
+        """Bulk-append landmark vertices as arrays: ``ids [N]``,
+        ``estimates [N, 3]``, ``fixed [N]`` bool (or scalar)."""
+        n = self._add_bulk(ids, fixed)
+        X = np.asarray(estimates, dtype=np.float64).reshape(n, 3)
+        self._bulk_X = X.copy() if self._bulk_X is None else np.concatenate(
+            [self._bulk_X, X]
+        )
 
     def estimates_array(self) -> np.ndarray:
-        L = len(self._ordered)
+        L = self.total_size()
         Xw = np.empty((L, 3), dtype=np.float64)
+        pos = self._set_positions_of_objects()
         for i, v in enumerate(self._ordered):
-            Xw[i] = v.estimate
+            Xw[pos[i]] = v.estimate
+        if self._bulk_index is not None:
+            Xw[self._bulk_index] = self._bulk_X
         return Xw
 
     def write_back(self, Xw: np.ndarray) -> None:
-        for i, v in enumerate(self._ordered):
-            v.estimate = Xw[i].copy()
+        """Write optimised estimates back from the GLOBAL-indexed array."""
+        for v in self._ordered:
+            v.estimate = Xw[v.index].copy()
+        if self._bulk_gindex is not None:
+            self._bulk_X = np.asarray(Xw)[self._bulk_gindex].copy()
+
+    def bulk_estimates(self) -> np.ndarray:
+        return self._bulk_X
 
 
 class BaseEdge:

@@ -101,16 +101,28 @@ class SchurPlan(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("Pa", "La", "dtype"))
-def _derive_edge_masks(pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype):
-    """Derive the per-edge float masks ON DEVICE from the int32 indices and
-    1-byte masks: uploading them as f64 costs ~22 MB per KITTI-00-scale edge
-    set over the ~20-70 MB/s axon tunnel (free_p/free_l are pure functions
-    of the indices; active/mask3 are 0/1)."""
+def _pack_device(meas, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype):
+    """Device side of edge packing, one dispatch per edge set.
+
+    - float masks are DERIVED from the int32 indices and 1-byte masks
+      (uploading them as f64 costs ~22 MB per KITTI-00-scale edge set over
+      the ~20-70 MB/s axon tunnel; free_p/free_l are pure functions of the
+      indices, active/mask3 are 0/1);
+    - meas/cam transpose to component-first [K, E] ON DEVICE (the host
+      numpy transpose of a [755k, 2] array is a strided element-wise copy,
+      ~0.3-1 s on this throttled core; on the TPU it is one relayout)."""
     free_p = (pose_idx < Pa).astype(dtype)
     free_l = (lm_idx < La).astype(dtype)
     active = active_i8.astype(dtype)
     mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
-    return free_p, free_l, active, mask3
+    return (
+        meas.astype(dtype).T,
+        cam.astype(dtype).T,
+        free_p,
+        free_l,
+        active,
+        mask3,
+    )
 
 
 def _ids_to_indices(sets, ids):
@@ -128,6 +140,9 @@ def _ids_to_indices(sets, ids):
                 (v.index for v in vs._vertices.values()), dtype=np.int64, count=n
             )
         )
+        if vs._bulk_ids is not None:
+            all_ids.append(vs._bulk_ids)
+            all_idx.append(vs._bulk_gindex)
     cat_ids = np.concatenate(all_ids)
     cat_idx = np.concatenate(all_idx)
     order = np.argsort(cat_ids)
@@ -895,34 +910,35 @@ class BlockSolver:
         live_sets = [es for es in edge_sets if es.nedges() > 0]
 
         def reindex(sets):
-            """Global active-first index assignment over several sets."""
+            """Global active-first index assignment over several sets
+            (vectorised; covers object AND bulk vertices)."""
             for vs in sets:
                 vs.generate_estimate_data()
-            i = 0
-            for vs in sets:
-                for v in vs.ordered[: vs.get_active_size()]:
-                    v.index = i
-                    i += 1
-            na = i
-            for vs in sets:
-                for v in vs.ordered[vs.get_active_size() :]:
-                    v.index = i
-                    i += 1
-            return na, i
+            acts = [vs.get_active_size() for vs in sets]
+            tots = [vs.total_size() for vs in sets]
+            na = sum(acts)
+            act_off, fix_off = 0, na
+            for vs, a, tot in zip(sets, acts, tots):
+                gmap = np.empty(tot, dtype=np.int64)
+                gmap[:a] = act_off + np.arange(a)
+                gmap[a:] = fix_off + np.arange(tot - a)
+                vs.assign_global_indices(gmap)
+                act_off += a
+                fix_off += tot - a
+            return na, sum(tots)
 
         Pa, P = reindex(pose_sets)
         q = np.empty((P, 4), dtype=np.float64)
         t = np.empty((P, 3), dtype=np.float64)
         for vs in pose_sets:
-            for v in vs.ordered:
-                q[v.index] = v.estimate.q
-                t[v.index] = v.estimate.t
+            qs, ts = vs.estimates_array()  # per-set order
+            q[vs._gmap] = qs
+            t[vs._gmap] = ts
 
         La, L = reindex(lm_sets) if lm_sets else (0, 0)
         Xw = np.empty((L, 3), dtype=np.float64)
         for vs in lm_sets:
-            for v in vs.ordered:
-                Xw[v.index] = v.estimate
+            Xw[vs._gmap] = vs.estimates_array()
 
         # the spec builder reads the vertex sets for bulk id lookups
         self._pose_sets = pose_sets
@@ -1134,12 +1150,12 @@ class BlockSolver:
                 lm_idx[dummy] = pos_in_class[dummy]
                 E = perm.size
 
-            # upload diet (the axon tunnel moves ~20-70 MB/s): the float
-            # masks are DERIVED on device from the int32 indices and a 1-byte
-            # active mask instead of uploading ~22 MB of f64 per edge set
+            # upload diet + one packing dispatch (see _pack_device)
             pose_idx_dev = jnp.asarray(pose_idx)
             lm_idx_dev = jnp.asarray(lm_idx)
-            free_p, free_l, active_dev, mask3_dev = _derive_edge_masks(
+            measT, camT, free_p, free_l, active_dev, mask3_dev = _pack_device(
+                jnp.asarray(meas),
+                jnp.asarray(cam),
                 pose_idx_dev,
                 lm_idx_dev,
                 jnp.asarray((active > 0).astype(np.int8)),
@@ -1151,9 +1167,9 @@ class BlockSolver:
                 dt,
             )
             data = PackedEdges(
-                meas=jnp.asarray(np.ascontiguousarray(meas.T), dt),
+                meas=measT,
                 omega=jnp.asarray(omega, dt),
-                cam=jnp.asarray(np.ascontiguousarray(cam.T), dt),
+                cam=camT,
                 pose_idx=pose_idx_dev,
                 lm_idx=lm_idx_dev,
                 free_p=free_p,
@@ -1688,22 +1704,15 @@ class BlockSolver:
         if not self._pose_sets:
             return  # array-initialized problems keep results in self.graph
         q, t = self.result_poses()  # undoes any RCM pose reordering
-        if self._pose_set is not None:
-            # single set: global index == per-set ordered position
-            self._pose_set.write_back(q, t)
-        else:
-            for vs in self._pose_sets:
-                for v in vs.ordered:
-                    v.estimate = Se3(q[v.index], t[v.index])
+        for vs in self._pose_sets:
+            # write_back indexes by the GLOBAL vertex index (covers object
+            # and bulk vertices; single-set global == per-set index)
+            vs.write_back(q, t)
         if self._lm_sets and self.L > 0:
             # undoes the group layout's landmark renumbering/padding
             Xw = self.result_landmarks()
-            if self._lm_set is not None:
-                self._lm_set.write_back(Xw)
-            else:
-                for vs in self._lm_sets:
-                    for v in vs.ordered:
-                        v.estimate = Xw[v.index].copy()
+            for vs in self._lm_sets:
+                vs.write_back(Xw)
 
     def nedges(self) -> int:
         return sum(m.nedges for m in self.metas)

@@ -297,3 +297,105 @@ def test_no_pose_set_raises():
     opt.add_edge_set(tba.MonoEdgeSet())
     with pytest.raises(ValueError):
         opt.initialize()
+
+
+def test_bulk_vertices_match_object_vertices():
+    """add_vertices_bulk + add_edges_bulk produce the same trace and the
+    same written-back estimates as per-object construction (the fast path
+    the reference's Arena pack speed demands; VERDICT round-1 item 7)."""
+    p = make_ba_problem(
+        num_poses=14, num_landmarks=90, mean_obs_per_landmark=4.0,
+        kind="mono", seed=11,
+    )
+    P = p.pose_q.shape[0]
+    cam = tba.Camera(*p.cam)
+    fixed_p = np.arange(P) >= p.num_active_poses
+
+    def run(bulk: bool):
+        ps = tba.PoseVertexSet()
+        ls = tba.LandmarkVertexSet()
+        if bulk:
+            ps.add_vertices_bulk(np.arange(P), p.pose_q, p.pose_t, fixed_p)
+            ls.add_vertices_bulk(
+                P + np.arange(p.landmarks.shape[0]), p.landmarks
+            )
+        else:
+            for i in range(P):
+                ps.add_vertex(
+                    tba.PoseVertex(
+                        i, tba.Se3(p.pose_q[i], p.pose_t[i]), bool(fixed_p[i])
+                    )
+                )
+            for j in range(p.landmarks.shape[0]):
+                ls.add_vertex(tba.LandmarkVertex(P + j, p.landmarks[j]))
+        es = tba.MonoEdgeSet()
+        es.set_information(1.0)
+        es.set_camera(cam)
+        es.add_edges_bulk(p.meas, p.pose_idx, P + p.lm_idx)
+        opt = tba.TpuGraphOptimisation.create()
+        opt.add_vertex_set(ps)
+        opt.add_vertex_set(ls)
+        opt.add_edge_set(es)
+        opt.initialize()
+        opt.optimize(4)
+        trace = [s.chi2 for s in opt.batch_statistics().get()]
+        if bulk:
+            q, t = ps.bulk_estimates()
+            X = ls.bulk_estimates()
+        else:
+            q = np.stack([ps.get_vertex(i).estimate.q for i in range(P)])
+            t = np.stack([ps.get_vertex(i).estimate.t for i in range(P)])
+            X = np.stack(
+                [ls.get_vertex(P + j).estimate
+                 for j in range(p.landmarks.shape[0])]
+            )
+        return trace, q, t, X
+
+    tr_o, q_o, t_o, X_o = run(bulk=False)
+    tr_b, q_b, t_b, X_b = run(bulk=True)
+    np.testing.assert_allclose(tr_b, tr_o, rtol=1e-9)
+    np.testing.assert_allclose(q_b, q_o, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(t_b, t_o, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(X_b, X_o, rtol=0, atol=1e-12)
+
+
+def test_bulk_vertices_mixed_with_objects():
+    """Bulk and object vertices coexist in one set (active-first across
+    both; write-back reaches both)."""
+    p = make_ba_problem(
+        num_poses=10, num_landmarks=60, mean_obs_per_landmark=4.0,
+        kind="mono", seed=12,
+    )
+    P = p.pose_q.shape[0]
+    ps = tba.PoseVertexSet()
+    # first half as objects, second half bulk
+    h = P // 2
+    for i in range(h):
+        ps.add_vertex(
+            tba.PoseVertex(
+                i, tba.Se3(p.pose_q[i], p.pose_t[i]), i >= p.num_active_poses
+            )
+        )
+    ps.add_vertices_bulk(
+        np.arange(h, P), p.pose_q[h:], p.pose_t[h:],
+        np.arange(h, P) >= p.num_active_poses,
+    )
+    ls = tba.LandmarkVertexSet()
+    ls.add_vertices_bulk(P + np.arange(p.landmarks.shape[0]), p.landmarks)
+    es = tba.MonoEdgeSet()
+    es.set_information(1.0)
+    es.set_camera(tba.Camera(*p.cam))
+    es.add_edges_bulk(p.meas, p.pose_idx, P + p.lm_idx)
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(ps)
+    opt.add_vertex_set(ls)
+    opt.add_edge_set(es)
+    opt.initialize()
+    opt.optimize(4)
+    trace = [s.chi2 for s in opt.batch_statistics().get()]
+    assert trace[-1] < trace[0]
+    # write-back reached the object vertices and the bulk arrays
+    q_b, _ = ps.bulk_estimates()
+    assert q_b.shape == (P - h, 4)
+    assert np.isfinite(q_b).all()
+    assert all(np.isfinite(ps.get_vertex(i).estimate.q).all() for i in range(h))
