@@ -483,13 +483,15 @@ class EdgeSet:
         else:
             b = self._bulk
             if (b["info"] is None) != (info is None):
-                ones = lambda n: _np.ones(n, dtype=_np.float64)
+                # rows without explicit information take the edge set's
+                # GLOBAL information AT PACK TIME (NaN sentinel here), so a
+                # later set_information() applies to them like it does on
+                # the object path (_spec_from_edge_set packs the global)
+                nans = lambda n: _np.full(n, _np.nan, dtype=_np.float64)
                 b["info"] = (
-                    ones(b["meas"].shape[0]) * self.information
-                    if b["info"] is None
-                    else b["info"]
+                    nans(b["meas"].shape[0]) if b["info"] is None else b["info"]
                 )
-                new["info"] = info if info is not None else ones(E) * self.information
+                new["info"] = info if info is not None else nans(E)
             self._bulk = {
                 k: (
                     None

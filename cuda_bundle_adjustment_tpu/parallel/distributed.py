@@ -43,10 +43,8 @@ from ..ops.components import (
     flat_abt_6x3,
     flat_mm_6x3_3x3,
     flat_mtv_6x3,
-    flat_mtv_6x6,
     flat_mv_3x3,
     flat_mv_6x3,
-    flat_mv_6x6,
     flat_sym3x3_inv,
 )
 from ..ops.linalg import add_lambda

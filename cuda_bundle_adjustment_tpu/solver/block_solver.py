@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ops import segment_sum
 
-from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet, Se3
+from ..graph import EdgeSet, LandmarkVertexSet, PoseVertexSet
 from ..models import MODEL_REGISTRY
 from ..ops.linalg import add_lambda, block_diag_solve
 from ..ops.lie import se3_exp, se3_update_left
@@ -564,7 +564,10 @@ def _solve_reduced_blocks(
         # cholesky.hpp:292-297)
         from .pcg import solve_blocks_pcg
 
-        return solve_blocks_pcg(blocks, bsc, Pa, brow, bcol, diag_pos, pcg)
+        return solve_blocks_pcg(
+            blocks, bsc, Pa, brow, bcol, diag_pos, pcg,
+            row_plan=row_plan, col_plan=col_plan,
+        )
 
     # symmetric Jacobi scaling: BA Hessian diagonals span many orders of
     # magnitude (focal-length-squared pixel terms vs unit-metric terms)
@@ -1280,6 +1283,9 @@ class BlockSolver:
                 if (opts.per_edge_information and b["info"] is not None)
                 else np.full(Eb, es.information)
             )
+            # NaN rows = bulk batches added without explicit information:
+            # they take the edge set's global at pack time (graph.py)
+            ob = np.where(np.isnan(ob), es.information, ob)
             meas = np.concatenate([meas, b["meas"]], axis=0)
             pose_idx = np.concatenate([pose_idx, pib])
             lm_idx = np.concatenate([lm_idx, lib])
@@ -1624,35 +1630,34 @@ class BlockSolver:
         structure rebuild (optimisable_graph.hpp:604-640).
 
         Works on the packed (possibly merged + layout-permuted) arrays, then
-        maps the keep masks back to original edge order for the object-API
-        write-back (``edge.inactivate()``)."""
-        keeps = self._update_edges_arrays()
-        if keeps is None or not self._edge_sets:
+        maps the newly-thresholded masks back to original edge order for the
+        object-API write-back (``edge.inactivate()``)."""
+        newly_masks = self._update_edges_arrays()
+        if newly_masks is None or not self._edge_sets:
             return
-        # distribute original-order keeps to the object edge sets; a merged
+        # distribute original-order masks to the object edge sets; a merged
         # mono+stereo spec covers several sets contiguously
-        if len(keeps) == 1 and self._merged_sizes and self._merged_sizes[0]:
+        if len(newly_masks) == 1 and self._merged_sizes and self._merged_sizes[0]:
             sizes = self._merged_sizes[0]
-            if keeps[0] is None:
+            if newly_masks[0] is None:
                 parts = [None] * len(sizes)
             else:
-                parts = np.split(keeps[0], np.cumsum(sizes)[:-1])
+                parts = np.split(newly_masks[0], np.cumsum(sizes)[:-1])
         else:
-            parts = keeps
-        for es, keep in zip(self._edge_sets, parts):
-            if keep is None or es.outlier_threshold <= 0.0:
+            parts = newly_masks
+        for es, newly in zip(self._edge_sets, parts):
+            if newly is None or es.outlier_threshold <= 0.0:
                 continue
             n_out = 0
             for i, edge in enumerate(es.edges):
-                if not keep[i] and edge.is_active:
+                if newly[i] and edge.is_active:
                     edge.inactivate()
                     n_out += 1
             b = es._bulk
             if b is not None and b["meas"].shape[0]:
-                kb = keep[len(es.edges) :]
-                was = b["active"]
-                n_out += int(was.sum() - (was & kb).sum())
-                b["active"] = was & kb
+                nb = newly[len(es.edges) :]
+                n_out += int((b["active"] & nb).sum())
+                b["active"] = b["active"] & ~nb
             es._outlier_count = n_out
 
     def _update_edges_arrays(self):
@@ -1674,21 +1679,26 @@ class BlockSolver:
                 chi_np = np.asarray(chi_e)
                 was = np.asarray(data.active) > 0
                 keep = ((thr_np <= 0) | (chi_np <= thr_np)) & was
+                # newly = THRESHOLD-caused deactivations only.  ``was`` is
+                # False for dummy-padding rows AND for edges whose vertices
+                # are all fixed (masked at pack time) — those must NOT be
+                # reported (or object-inactivated) as outliers
+                newly = was & ~keep
                 data = data._replace(
                     active=jnp.asarray(keep.astype(np.float64), self.dtype)
                 )
-                self._outlier_counts.append(int(was.sum() - keep.sum()))
+                self._outlier_counts.append(int(newly.sum()))
                 # map packed (layout) order back to original edge order; rows
-                # with no packed slot (never true for real edges) keep True
+                # with no packed slot stay False (not newly thresholded)
                 if si == 0 and self.group_layout is not None:
                     perm = self.group_layout.edge_perm
                     rows = perm >= 0
                     n_orig = int(perm[rows].max()) + 1 if rows.any() else 0
-                    ko = np.ones(n_orig, dtype=bool)
-                    ko[perm[rows]] = keep[rows]
+                    ko = np.zeros(n_orig, dtype=bool)
+                    ko[perm[rows]] = newly[rows]
                     keeps.append(ko)
                 else:
-                    keeps.append(keep)
+                    keeps.append(newly)
             else:
                 self._outlier_counts.append(0)
                 keeps.append(None)

@@ -99,6 +99,8 @@ def solve_blocks_pcg(
     pc: PcgPlan,
     tol: float = CG_TOL,
     maxiter: int = CG_MAXITER,
+    row_plan=None,
+    col_plan=None,
 ):
     """Solve ``Hsc xp = bsc`` on flat upper-tri 6x6 blocks ``[nnz, 36]``.
 
@@ -147,7 +149,17 @@ def solve_blocks_pcg(
     offm = (blk_row != blk_col).astype(dtype)[:, None]
 
     def matvec(xv):
+        # scatter-free bucketed reduction when the caller already built the
+        # blk_row/blk_col plans (single-chip build_structure does; scatters
+        # cost ~115 ns/row vs ~43 for the planned gather-reduce, and this
+        # runs up to ``maxiter`` times per trial)
         x2 = xv.reshape(Pa, 6)
+        if row_plan is not None:
+            from .segments import reduce_rows
+
+            y = reduce_rows(flat_mv_6x6(bl_s, x2[blk_col]), row_plan)
+            y = y + reduce_rows(flat_mtv_6x6(bl_s * offm, x2[blk_row]), col_plan)
+            return y.reshape(-1)
         y = segment_sum(
             flat_mv_6x6(bl_s, x2[blk_col]), blk_row, num_segments=Pa
         )

@@ -399,3 +399,101 @@ def test_bulk_vertices_mixed_with_objects():
     assert q_b.shape == (P - h, 4)
     assert np.isfinite(q_b).all()
     assert all(np.isfinite(ps.get_vertex(i).estimate.q).all() for i in range(h))
+
+
+def test_all_fixed_edge_not_flagged_as_outlier():
+    """An edge whose vertices are ALL fixed is masked at pack time; outlier
+    thresholding must not inactivate it or count it (code-review round-2
+    regression: the pack-time mask leaked into the threshold keep mask)."""
+    p = make_ba_problem(
+        num_poses=8, num_landmarks=40, mean_obs_per_landmark=4.0,
+        kind="mono", seed=21,
+    )
+    P = p.pose_q.shape[0]
+    ps = tba.PoseVertexSet()
+    for i in range(P):
+        ps.add_vertex(
+            tba.PoseVertex(
+                i, tba.Se3(p.pose_q[i], p.pose_t[i]), i >= p.num_active_poses
+            )
+        )
+    ls = tba.LandmarkVertexSet()
+    for j in range(p.landmarks.shape[0]):
+        # fix ONE landmark so an (active-pose, fixed-lm) edge exists, and
+        # pair it with a fixed pose below for a fully-fixed edge
+        ls.add_vertex(tba.LandmarkVertex(P + j, p.landmarks[j], j == 0))
+    es = tba.MonoEdgeSet()
+    es.set_information(1.0)
+    es.set_camera(tba.Camera(*p.cam))
+    fixed_pose = ps.get_vertex(P - 1)
+    assert fixed_pose.is_fixed()
+    all_fixed_edge = None
+    for k in range(p.meas.shape[0]):
+        e = tba.MonoEdge()
+        e.set_vertex(ps.get_vertex(int(p.pose_idx[k])), 0)
+        e.set_vertex(ls.get_vertex(P + int(p.lm_idx[k])), 1)
+        e.set_measurement(p.meas[k])
+        es.add_edge(e)
+    # an extra edge between a FIXED pose and the FIXED landmark with a
+    # grossly wrong measurement: would trip any threshold if considered
+    e = tba.MonoEdge()
+    e.set_vertex(fixed_pose, 0)
+    e.set_vertex(ls.get_vertex(P + 0), 1)
+    e.set_measurement(np.array([1e6, 1e6]))
+    es.add_edge(e)
+    all_fixed_edge = e
+    es.set_outlier_threshold(1e3)
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(ps)
+    opt.add_vertex_set(ls)
+    opt.add_edge_set(es)
+    opt.initialize()
+    opt.optimize(3)
+    assert all_fixed_edge.is_active, "all-fixed edge wrongly inactivated"
+    assert es.get_outlier_count() == 0
+
+
+def test_bulk_info_batches_take_pack_time_global():
+    """A bulk batch added WITHOUT information takes the edge set's global
+    information AT PACK time (set_information after add_edges_bulk applies),
+    matching the object path's pack-time semantics."""
+    from cuda_bundle_adjustment_tpu.graph import GraphOptimisationOptions
+
+    p = make_ba_problem(
+        num_poses=8, num_landmarks=40, mean_obs_per_landmark=4.0,
+        kind="mono", seed=22,
+    )
+    P = p.pose_q.shape[0]
+    E = p.meas.shape[0]
+    h = E // 2
+
+    def run(set_info_last: bool):
+        ps = tba.PoseVertexSet()
+        ps.add_vertices_bulk(
+            np.arange(P), p.pose_q, p.pose_t, np.arange(P) >= p.num_active_poses
+        )
+        ls = tba.LandmarkVertexSet()
+        ls.add_vertices_bulk(P + np.arange(p.landmarks.shape[0]), p.landmarks)
+        es = tba.MonoEdgeSet()
+        es.set_camera(tba.Camera(*p.cam))
+        if not set_info_last:
+            es.set_information(2.0)
+        # batch 1 without info (global), batch 2 with explicit per-edge info
+        es.add_edges_bulk(p.meas[:h], p.pose_idx[:h], P + p.lm_idx[:h])
+        es.add_edges_bulk(
+            p.meas[h:], p.pose_idx[h:], P + p.lm_idx[h:],
+            information=np.full(E - h, 2.0),
+        )
+        if set_info_last:
+            es.set_information(2.0)  # must reach batch 1 at pack time
+        opt = tba.TpuGraphOptimisation.create(
+            GraphOptimisationOptions(per_edge_information=True)
+        )
+        opt.add_vertex_set(ps)
+        opt.add_vertex_set(ls)
+        opt.add_edge_set(es)
+        opt.initialize()
+        opt.optimize(3)
+        return [s.chi2 for s in opt.batch_statistics().get()]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-12)
