@@ -111,6 +111,7 @@ def _pack_device(meas, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype
     - meas/cam transpose to component-first [K, E] ON DEVICE (the host
       numpy transpose of a [755k, 2] array is a strided element-wise copy,
       ~0.3-1 s on this throttled core; on the TPU it is one relayout)."""
+    pose_idx = pose_idx.astype(jnp.int32)  # int16 upload when P < 2^15
     free_p = (pose_idx < Pa).astype(dtype)
     free_l = (lm_idx < La).astype(dtype)
     active = active_i8.astype(dtype)
@@ -118,6 +119,7 @@ def _pack_device(meas, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype
     return (
         meas.astype(dtype).T,
         cam.astype(dtype).T,
+        pose_idx,
         free_p,
         free_l,
         active,
@@ -1153,21 +1155,28 @@ class BlockSolver:
                 lm_idx[dummy] = pos_in_class[dummy]
                 E = perm.size
 
-            # upload diet + one packing dispatch (see _pack_device)
-            pose_idx_dev = jnp.asarray(pose_idx)
+            # upload diet + one packing dispatch (see _pack_device); pose
+            # indices ship as int16 when they fit (halves that upload)
+            pi_up = (
+                pose_idx.astype(np.int16)
+                if self.P + 1 < 2**15
+                else pose_idx
+            )
             lm_idx_dev = jnp.asarray(lm_idx)
-            measT, camT, free_p, free_l, active_dev, mask3_dev = _pack_device(
-                jnp.asarray(meas),
-                jnp.asarray(cam),
-                pose_idx_dev,
-                lm_idx_dev,
-                jnp.asarray((active > 0).astype(np.int8)),
-                None if mask3 is None else jnp.asarray(
-                    (mask3 > 0).astype(np.int8)
-                ),
-                self.Pa,
-                self.La,
-                dt,
+            measT, camT, pose_idx_dev, free_p, free_l, active_dev, mask3_dev = (
+                _pack_device(
+                    jnp.asarray(meas),
+                    jnp.asarray(cam),
+                    jnp.asarray(pi_up),
+                    lm_idx_dev,
+                    jnp.asarray((active > 0).astype(np.int8)),
+                    None if mask3 is None else jnp.asarray(
+                        (mask3 > 0).astype(np.int8)
+                    ),
+                    self.Pa,
+                    self.La,
+                    dt,
+                )
             )
             data = PackedEdges(
                 meas=measT,
