@@ -212,7 +212,9 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
 
     ``Hpl``: [E', 18] f64 per-edge blocks in group-layout order
     (solver/groups.py); ``invHll``: [La, 9] f64 (landmark positions).
-    Returns ``[n_out, 36]`` f64 rows ordered (class, pair, chunk) matching
+    Returns float-float packed ``[n_out, 72]`` f32 rows (hi | lo halves;
+    recombine ``rows[:, :36] + rows[:, 36:]`` in f64 for the block values)
+    ordered (class, pair, chunk) matching
     ``GroupLayout.out_key``."""
     layout = plan.layout
     dtype = Hpl.dtype
@@ -246,6 +248,9 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
             plan.class_a[ci], plan.class_b[ci],
             cm.d, cm.gc, interpret=interpret,
         )
-        out = oh.astype(dtype) + ol.astype(dtype)
-        rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 36))
+        # float-float PACKED output [rows, 72] f32 (hi | lo): the downstream
+        # Hsc reduce gathers each row once instead of twice (f64 rows are
+        # (hi, lo) component pairs on TPU; segments.reduce_rows_ff)
+        out = jnp.concatenate([oh, ol], axis=1)  # [npairs, 72, nc_pad]
+        rows.append(jnp.transpose(out, (0, 2, 1)).reshape(-1, 72))
     return jnp.concatenate(rows, axis=0)

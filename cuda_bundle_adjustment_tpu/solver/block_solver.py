@@ -707,18 +707,21 @@ def schur_reduce(
         bsc = sys.bp - reduce_rows(
             _pose_chunk_presum(bsc_rows, plan), plan.bsc_plan
         )
-        rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)
+        rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)  # [n, 72] ff-packed
         if plan.fix_rows is not None and plan.fix_rows.shape[0]:
             # pairs hitting a diagonal block via duplicate poses need the
             # transposed product added too (densify never mirrors the
-            # diagonal; see symbolic.py:117-128)
-            t36 = jnp.asarray(
-                np.arange(36).reshape(6, 6).T.reshape(-1), jnp.int32
+            # diagonal; see symbolic.py:117-128); transpose BOTH ff halves
+            t36 = np.arange(36).reshape(6, 6).T.reshape(-1)
+            t72 = jnp.asarray(
+                np.concatenate([t36, 36 + t36]), jnp.int32
             )
             rows = jnp.concatenate(
-                [rows, rows[plan.fix_rows][:, t36]], axis=0
+                [rows, rows[plan.fix_rows][:, t72]], axis=0
             )
-        blocks = -reduce_rows(rows, plan.outk_plan)
+        from .segments import reduce_rows_ff
+
+        blocks = -reduce_rows_ff(rows, plan.outk_plan, dtype)
     else:
         # per-edge W; under the group layout the ib "gather" is d stacked
         # slice copies per class, otherwise one row gather of the combined

@@ -250,6 +250,31 @@ def reduce_rows(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
     return cat[plan.out_gather]
 
 
+def reduce_rows_ff(Xff: jnp.ndarray, plan: BucketPlan, dtype) -> jnp.ndarray:
+    """Like :func:`reduce_rows`, but the rows arrive float-float PACKED as
+    ``[N, 2K]`` f32 (hi | lo halves side by side) and are gathered ONCE.
+
+    TPU f64 arrays are (hi, lo) f32 component pairs, so gathering f64 rows
+    costs two per-row gathers (measured: the two outk bucket fusions are the
+    single largest item in the fused-loop device trace).  Gather cost is
+    per-row, not per-byte — packing both halves into one f32 row halves it.
+    The halves recombine to ``dtype`` INSIDE the bucket before the summation;
+    hi + lo is exact (disjoint mantissas), so the result is bit-identical to
+    ``reduce_rows`` on pre-recombined rows (same summation order).
+    """
+    K = Xff.shape[1] // 2
+    X_ext = jnp.concatenate([Xff, jnp.zeros((1, 2 * K), Xff.dtype)], axis=0)
+    parts = []
+    for streams in plan.payload_buckets:
+        g = X_ext[streams[0]]  # [n_b, S, 2K] f32, ONE gather
+        gd = g[..., :K].astype(dtype) + g[..., K:].astype(dtype)
+        parts.append(gd.sum(axis=1))
+    cat = jnp.concatenate(parts, axis=0)
+    if plan.second is not None:
+        return reduce_rows(cat, plan.second)[plan.out_gather]
+    return cat[plan.out_gather]
+
+
 def reduce_pair_products(
     A: jnp.ndarray, B: jnp.ndarray, plan: BucketPlan
 ) -> jnp.ndarray:

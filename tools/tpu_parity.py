@@ -137,9 +137,10 @@ def _oracle_exactness() -> bool:
     for label, h_scale, i_scale in (("unit", 1.0, 1.0), ("ba-like", 3e4, 3e-9)):
         Hpl = rng.uniform(-1, 1, (Ep, 18)) * h_scale
         invH = rng.uniform(-1, 1, (s.La, 9)) * i_scale
-        rows_k = np.asarray(
+        rk = np.asarray(
             schur_pair_rows_v2(jnp.asarray(Hpl), jnp.asarray(invH), plan)
-        )
+        )  # [n, 72] float-float packed
+        rows_k = rk[:, :36].astype(np.float64) + rk[:, 36:].astype(np.float64)
         HplL = Hpl.astype(np.longdouble)
         invL = invH.astype(np.longdouble)
         worst = 0.0
