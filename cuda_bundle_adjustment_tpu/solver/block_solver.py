@@ -383,7 +383,7 @@ def _build_system_impl(
     graph, packed, metas, num_active_poses, num_active_landmarks, plan,
     with_chi, pose_state=None,
 ):
-    from .segments import reduce_rows
+    from .segments import reduce_rows, reduce_rows_f64_packed
 
     Pa, La = num_active_poses, num_active_landmarks
     dtype = graph.q.dtype
@@ -425,13 +425,17 @@ def _build_system_impl(
     if all_ba and plan is not None:
         combined = jnp.concatenate([s for s, _ in pose_stacks], axis=0)  # [E,72]
         if plan.layout is not None:
-            pose_acc = reduce_rows(
-                _pose_chunk_presum(combined, plan), plan.pose_plan
-            )[:, :42]
+            pose_acc = reduce_rows_f64_packed(
+                _pose_chunk_presum(combined, plan)[:, :42], plan.pose_plan
+            )
             lm_acc = _lm_slot_sum(combined[:, 42:54], plan, La)
         else:
-            pose_acc = reduce_rows(combined, plan.pose_plan)[:, :42]
-            lm_acc = reduce_rows(combined, plan.lm_plan)[:, 42:54]
+            pose_acc = reduce_rows_f64_packed(
+                combined[:, :42], plan.pose_plan
+            )
+            lm_acc = reduce_rows_f64_packed(
+                combined[:, 42:54], plan.lm_plan
+            )
         Hpl = combined[:, 54:]
         Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
         return SystemBlocks(
@@ -440,7 +444,7 @@ def _build_system_impl(
         ), chi
 
     if plan is not None and plan.pose_plan is not None:
-        pose_acc = reduce_rows(
+        pose_acc = reduce_rows_f64_packed(
             jnp.concatenate([s for s, _ in pose_stacks], axis=0), plan.pose_plan
         )
     else:
@@ -451,7 +455,7 @@ def _build_system_impl(
     lm_acc = None
     if La > 0 and lm_stacks:
         if plan is not None and plan.lm_plan is not None:
-            lm_acc = reduce_rows(
+            lm_acc = reduce_rows_f64_packed(
                 jnp.concatenate([s for s, _ in lm_stacks], axis=0), plan.lm_plan
             )
         else:
@@ -636,7 +640,7 @@ def _solve_reduced_blocks(
 
     def matvec(xv):  # symmetric block SpMV in the scaled space, f64
         if row_plan is not None:
-            from .segments import reduce_rows
+            from .segments import reduce_rows, reduce_rows_f64_packed
 
             y = reduce_rows(flat_mv_6x6(bl_s, xv[bcol]), row_plan)
             return y + reduce_rows(flat_mtv_6x6(bl_s * offm, xv[brow]), col_plan)
@@ -682,7 +686,11 @@ def schur_reduce(
         flat_mv_6x3,
         flat_sym3x3_inv,
     )
-    from .segments import reduce_pair_products, reduce_rows
+    from .segments import (
+        reduce_pair_products,
+        reduce_rows,
+        reduce_rows_f64_packed,
+    )
 
     Pa = num_active_poses
     dtype = sys.bp.dtype
@@ -704,7 +712,7 @@ def schur_reduce(
 
         y = flat_mv_3x3(invHll, sys.bl)  # [La,3] per-landmark inv(Hll) bl
         bsc_rows = flat_mv_6x3(sys.Hpl, _lm_slot_expand(y, plan))
-        bsc = sys.bp - reduce_rows(
+        bsc = sys.bp - reduce_rows_f64_packed(
             _pose_chunk_presum(bsc_rows, plan), plan.bsc_plan
         )
         rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)  # [n, 72] ff-packed
@@ -735,7 +743,7 @@ def schur_reduce(
         bsc_rows = flat_mv_6x3(W, ib[:, 9:])
         if plan.layout is not None:
             bsc_rows = _pose_chunk_presum(bsc_rows, plan)
-        bsc = sys.bp - reduce_rows(bsc_rows, plan.bsc_plan)
+        bsc = sys.bp - reduce_rows_f64_packed(bsc_rows, plan.bsc_plan)
         blocks = -reduce_pair_products(W, sys.Hpl, plan.tri_plan)
     blocks = blocks.at[plan.diag_pos].add(Hpp_d.reshape(Pa, 36))
     return blocks, bsc, invHll
@@ -751,7 +759,7 @@ def schur_back_substitute(
     """Landmark back-substitution ``xl = inv(Hll)(bl - Hpl^T xp)``
     (gpu::schurComplementPost, cuda_block_solver.cu:1419-1442)."""
     from ..ops.components import flat_mtv_6x3, flat_mv_3x3
-    from .segments import reduce_rows
+    from .segments import reduce_rows, reduce_rows_f64_packed
 
     Pa = num_active_poses
     if plan.layout is not None and plan.chunk_pose is not None:
@@ -781,7 +789,7 @@ def schur_back_substitute(
     if plan.layout is not None:
         cl = sys.bl - _lm_slot_sum(contrib, plan, sys.bl.shape[0])
     else:
-        cl = sys.bl - reduce_rows(contrib, plan.lm_plan)
+        cl = sys.bl - reduce_rows_f64_packed(contrib, plan.lm_plan)
     return flat_mv_3x3(invHll, cl)
 
 

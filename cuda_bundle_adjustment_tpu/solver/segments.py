@@ -275,6 +275,22 @@ def reduce_rows_ff(Xff: jnp.ndarray, plan: BucketPlan, dtype) -> jnp.ndarray:
     return cat[plan.out_gather]
 
 
+def reduce_rows_f64_packed(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
+    """:func:`reduce_rows` for f64 rows via ONE ff-packed gather.
+
+    Splits ``X`` into exact (hi, lo) f32 halves (two cheap elementwise
+    passes), packs them side by side and reduces with
+    :func:`reduce_rows_ff` — halving the per-row gather cost that dominates
+    bucketed f64 reductions on TPU.  Bit-identical to ``reduce_rows(X)``.
+    Non-f64 inputs pass straight through.
+    """
+    if X.dtype != jnp.float64:
+        return reduce_rows(X, plan)
+    hi = X.astype(jnp.float32)
+    lo = (X - hi.astype(X.dtype)).astype(jnp.float32)
+    return reduce_rows_ff(jnp.concatenate([hi, lo], axis=1), plan, X.dtype)
+
+
 def reduce_pair_products(
     A: jnp.ndarray, B: jnp.ndarray, plan: BucketPlan
 ) -> jnp.ndarray:
