@@ -114,10 +114,14 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges, pose_state=None):
     cam = tuple(data.cam[i] for i in range(5))
     Xc = C.project_w2c_comps(R, t[0], t[1], t[2], Xw[0], Xw[1], Xw[2])
     # mask 1/z at the source: inert/padding edges with degenerate geometry
-    # (z = 0) must not inject inf/NaN anywhere downstream
-    mask = data.active > 0
-    inv_z = jnp.where(mask & (Xc[2] != 0), 1.0 / jnp.where(Xc[2] == 0, 1.0, Xc[2]), 0.0)
-    return R, Xc, cam, inv_z, mask
+    # (z = 0) must not inject inf/NaN anywhere downstream.  The float
+    # ``active`` factor (exactly 1.0 for live rows) replaces a bool
+    # ``active > 0`` predicate — hoisted bool masks were showing up as
+    # per-iteration loop copies in the fused-loop device trace
+    inv_z = data.active * jnp.where(
+        Xc[2] != 0, 1.0 / jnp.where(Xc[2] == 0, 1.0, Xc[2]), 0.0
+    )
+    return R, Xc, cam, inv_z
 
 
 def _residual(kind: str, Xc, cam, meas, inv_z):
@@ -131,9 +135,11 @@ def _residual(kind: str, Xc, cam, meas, inv_z):
 
 
 def _chi_projective(kind, graph, data, rk, delta, pose_state=None):
-    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
+    # no per-component masking: inactive rows produce FINITE garbage (inv_z
+    # is zeroed at the source) and the trailing ``* data.active`` zeroes
+    # their chi exactly; live rows are bit-identical to the masked form
+    R, Xc, cam, inv_z = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
-    e = tuple(jnp.where(mask, c, 0.0) for c in e)
     if data.mask3 is not None:
         # merged mono+stereo set: mono rows (mask3 = 0) drop the third
         # residual component, which makes the stereo math EXACTLY mono's
@@ -145,12 +151,13 @@ def _chi_projective(kind, graph, data, rk, delta, pose_state=None):
 def _terms_projective(
     kind, jac_fn, graph, data, rk, delta, with_chi=False, pose_state=None
 ):
-    R, Xc, cam, inv_z, mask = _edge_inputs(graph, data, pose_state)
+    R, Xc, cam, inv_z = _edge_inputs(graph, data, pose_state)
     e = _residual(kind, Xc, cam, data.meas, inv_z)
-    e = tuple(jnp.where(mask, c, 0.0) for c in e)
     if data.mask3 is not None:
         e = e[:2] + (e[2] * data.mask3,)
     x = data.omega * sum(c * c for c in e)
+    # ``* active`` in w zeroes every stack contribution of inactive rows
+    # (their e/x are finite garbage, never NaN — see _edge_inputs)
     w = data.omega * robust_derivative(rk, delta, x) * data.active
     JP, JL = jac_fn(Xc, R, cam, inv_z)
     if data.mask3 is not None:
@@ -161,7 +168,7 @@ def _terms_projective(
         if JL is not None:
             JL = (JL[0], JL[1], tuple(m3 * c for c in JL[2]))
     pose_stack, lm_stack, hpl = C.weighted_block_stacks(JP, JL, e, w)
-    both_free = (w * data.free_p * data.free_l)[..., None]
+    both_free = (w * data.both_free)[..., None]
     if with_chi:
         # chi rides the same residual pass: one state expansion + residual
         # evaluation instead of two per LM trial (terms for the next

@@ -211,8 +211,9 @@ class _EdgeData:
     def __init__(self, sp: ShardedProblem, meas, omega, cam, pose_idx, lm_local, active):
         self.meas, self.omega, self.cam = meas, omega, cam
         self.pose_idx, self.lm_idx, self.active = pose_idx, lm_local, active
-        self.free_p = (pose_idx < sp.num_active_poses).astype(omega.dtype)
-        self.free_l = jnp.ones_like(omega)  # padding edges carry active = 0
+        # landmarks are never fixed in the sharded path (padding edges carry
+        # active = 0), so both_free is just the pose-freedom mask
+        self.both_free = (pose_idx < sp.num_active_poses).astype(omega.dtype)
 
 
 def _make_shard_fns(mesh: Mesh, sp: ShardedProblem, rk: int, delta: float):

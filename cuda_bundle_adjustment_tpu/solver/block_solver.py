@@ -106,22 +106,20 @@ def _pack_device(meas, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype
 
     - float masks are DERIVED from the int32 indices and 1-byte masks
       (uploading them as f64 costs ~22 MB per KITTI-00-scale edge set over
-      the ~20-70 MB/s axon tunnel; free_p/free_l are pure functions of the
+      the ~20-70 MB/s axon tunnel; both_free is a pure function of the
       indices, active/mask3 are 0/1);
     - meas/cam transpose to component-first [K, E] ON DEVICE (the host
       numpy transpose of a [755k, 2] array is a strided element-wise copy,
       ~0.3-1 s on this throttled core; on the TPU it is one relayout)."""
     pose_idx = pose_idx.astype(jnp.int32)  # int16 upload when P < 2^15
-    free_p = (pose_idx < Pa).astype(dtype)
-    free_l = (lm_idx < La).astype(dtype)
+    both_free = ((pose_idx < Pa) & (lm_idx < La)).astype(dtype)
     active = active_i8.astype(dtype)
     mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
     return (
         meas.astype(dtype).T,
         cam.astype(dtype).T,
         pose_idx,
-        free_p,
-        free_l,
+        both_free,
         active,
         mask3,
     )
@@ -1140,7 +1138,7 @@ class BlockSolver:
                     thr = _take(thr)
                 active = _take(active)
                 # dummy rows: pose sentinel Pa — NOTE the safety here comes
-                # from the active=0/free_p=0 masks zeroing every downstream
+                # from the active=0/both_free=0 masks zeroing every downstream
                 # contribution, NOT from the one-hot window (when P <= 8192
                 # the window covers the whole table, so index Pa reads the
                 # first FIXED pose's real state).  Landmark id = the slot's
@@ -1174,7 +1172,7 @@ class BlockSolver:
                 else pose_idx
             )
             lm_idx_dev = jnp.asarray(lm_idx)
-            measT, camT, pose_idx_dev, free_p, free_l, active_dev, mask3_dev = (
+            measT, camT, pose_idx_dev, both_free, active_dev, mask3_dev = (
                 _pack_device(
                     jnp.asarray(meas),
                     jnp.asarray(cam),
@@ -1195,8 +1193,7 @@ class BlockSolver:
                 cam=camT,
                 pose_idx=pose_idx_dev,
                 lm_idx=lm_idx_dev,
-                free_p=free_p,
-                free_l=free_l,
+                both_free=both_free,
                 active=active_dev,
                 mask3=mask3_dev,
             )

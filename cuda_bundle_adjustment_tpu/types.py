@@ -26,8 +26,10 @@ class PackedEdges(NamedTuple):
     cam: jnp.ndarray  # [5, E] fx fy cx cy bf, component-first
     pose_idx: jnp.ndarray  # [E] int32 dense pose index
     lm_idx: jnp.ndarray  # [E] int32 dense landmark index (0 if pose-only)
-    free_p: jnp.ndarray  # [E] float mask: pose vertex not fixed
-    free_l: jnp.ndarray  # [E] float mask: landmark vertex not fixed (0 if pose-only)
+    both_free: jnp.ndarray  # [E] float mask: BOTH vertices free (pose not
+    # fixed AND landmark not fixed); the only consumer of per-vertex freedom
+    # is the Hpl block (single-free contributions drop via index range in the
+    # reductions), so one combined mask replaces two (HBM + loop-copy diet)
     active: jnp.ndarray  # [E] float mask: 1.0 active, 0.0 outlier
     # Pallas one-hot expansion plans for the per-edge state gathers
     # (q/t by pose_idx, Xw by lm_idx); None -> plain XLA gathers (CPU path)
