@@ -97,7 +97,9 @@ def write_graph(
     landmark_set: Optional[LandmarkVertexSet] = None,
     edge_sets=None,
 ) -> None:
-    """Write a BA graph file (from a BAProblem or from graph objects)."""
+    """Write a BA graph file from a :class:`BAProblem` (one edge list) or a
+    :class:`MixedBAProblem` (both mono and stereo lists, like the
+    reference's real KITTI inputs)."""
     doc: dict = {}
     if problem is not None:
         doc["pose_vertices"] = [
@@ -121,16 +123,30 @@ def write_graph(
         doc["fx"], doc["fy"], doc["cx"], doc["cy"], doc["bf"] = [
             float(v) for v in cam
         ]
-        key = "monocular_edges" if problem.kind == "mono" else "stereo_edges"
-        doc[key] = [
-            dict(
-                vertexP=int(problem.pose_idx[e]),
-                vertexL=int(problem.lm_idx[e]),
-                measurement=problem.meas[e].tolist(),
-                information=float(problem.omega[e]),
+        if isinstance(problem, MixedBAProblem):
+            specs = problem.specs
+        else:
+            specs = (
+                dict(
+                    kind=problem.kind,
+                    meas=problem.meas,
+                    pose_idx=problem.pose_idx,
+                    lm_idx=problem.lm_idx,
+                    omega=problem.omega,
+                ),
             )
-            for e in range(problem.meas.shape[0])
-        ]
+        for s in specs:
+            key = "monocular_edges" if s["kind"] == "mono" else "stereo_edges"
+            meas = np.asarray(s["meas"])
+            doc[key] = [
+                dict(
+                    vertexP=int(s["pose_idx"][e]),
+                    vertexL=int(s["lm_idx"][e]),
+                    measurement=meas[e].tolist(),
+                    information=float(s["omega"][e]),
+                )
+                for e in range(meas.shape[0])
+            ]
     else:
         raise NotImplementedError("object-graph writing: pass a BAProblem")
 

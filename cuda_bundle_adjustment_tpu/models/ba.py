@@ -114,12 +114,17 @@ def _edge_inputs(graph: GraphArrays, data: PackedEdges, pose_state=None):
     cam = tuple(data.cam[i] for i in range(5))
     Xc = C.project_w2c_comps(R, t[0], t[1], t[2], Xw[0], Xw[1], Xw[2])
     # mask 1/z at the source: inert/padding edges with degenerate geometry
-    # (z = 0) must not inject inf/NaN anywhere downstream.  The float
-    # ``active`` factor (exactly 1.0 for live rows) replaces a bool
-    # ``active > 0`` predicate — hoisted bool masks were showing up as
-    # per-iteration loop copies in the fused-loop device trace
+    # must not inject inf/NaN anywhere downstream.  The float ``active``
+    # factor (exactly 1.0 for live rows) replaces a bool ``active > 0``
+    # predicate — hoisted bool masks were showing up as per-iteration loop
+    # copies in the fused-loop device trace.  The guard is a MAGNITUDE test,
+    # not ``!= 0``: a padding row with |z| below the float-float overflow
+    # threshold (~1e-38 on TPU) would make 1/z = inf and 0*inf = NaN, which
+    # poisons the summed chi for the whole step; |z| > 1e-30 keeps inv_z an
+    # exact 0 for every degenerate row (NaN z also fails the comparison)
+    safe_z = jnp.abs(Xc[2]) > 1e-30
     inv_z = data.active * jnp.where(
-        Xc[2] != 0, 1.0 / jnp.where(Xc[2] == 0, 1.0, Xc[2]), 0.0
+        safe_z, 1.0 / jnp.where(safe_z, Xc[2], 1.0), 0.0
     )
     return R, Xc, cam, inv_z
 

@@ -88,16 +88,55 @@ class ShardedProblem(NamedTuple):
     kind: str
     # chunked block-Jacobi preconditioner plan (replicated; solver/pcg.py)
     pc: PcgPlan = None
+    # [D*Es] 1.0 = stereo row, 0.0 = mono row, for MERGED mono+stereo inputs
+    # (same masked-stereo trick as the single-chip path, types.py:mask3);
+    # None for single-kind problems
+    mask3: jnp.ndarray = None
+    # per-edge outlier threshold (scalar > 0 enables distributed_update_edges;
+    # 0 = feature off, matching EdgeSet.setOutlierThreshold semantics,
+    # /root/reference/src/optimisable_graph.hpp:415-419)
+    outlier_threshold: float = 0.0
 
 
-def shard_problem(problem, num_shards: int) -> ShardedProblem:
-    """Partition a :class:`~..io.synthetic.BAProblem` by landmark.
+def shard_problem(problem, num_shards: int, outlier_threshold: float = 0.0) -> ShardedProblem:
+    """Partition a :class:`~..io.synthetic.BAProblem` (or a
+    :class:`~..io.synthetic.MixedBAProblem` — mono+stereo merge onto the
+    masked-stereo path first) by landmark.
 
     Landmarks are dealt round-robin to shards; each edge follows its
     landmark.  All per-shard arrays are padded to the max shard size with
     inert entries.  Fully vectorised (no per-edge or per-shard Python loops)
     so city-scale inputs (~4M edges) shard in seconds.
     """
+    mask3_full = None
+    if hasattr(problem, "specs"):  # MixedBAProblem
+        from ..solver.block_solver import _merge_ba_specs
+
+        merged = _merge_ba_specs([dict(s) for s in problem.specs])
+        if len(merged) != 1:
+            raise ValueError(
+                "distributed path needs mergeable edge sets (mono+stereo "
+                "with one robust-kernel config)"
+            )
+        m = merged[0]
+        from ..io.synthetic import BAProblem
+
+        E_m = m["meas"].shape[0]
+        mask3_full = np.asarray(m["mask3"], dtype=np.float64)
+        problem = BAProblem(
+            pose_q=problem.pose_q,
+            pose_t=problem.pose_t,
+            num_active_poses=problem.num_active_poses,
+            landmarks=problem.landmarks,
+            num_active_landmarks=problem.num_active_landmarks,
+            meas=m["meas"],
+            pose_idx=np.asarray(m["pose_idx"], dtype=np.int32),
+            lm_idx=np.asarray(m["lm_idx"], dtype=np.int32),
+            omega=m["omega"],
+            cam=m["cam"],
+            kind="stereo",
+        )
+
     D = num_shards
     Pa = problem.num_active_poses
     La = problem.num_active_landmarks
@@ -137,6 +176,11 @@ def shard_problem(problem, num_shards: int) -> ShardedProblem:
     pose_idx[slot] = problem.pose_idx[order]
     lml[slot] = lm_local[problem.lm_idx[order]]
     active[slot] = 1.0
+    mask3 = None
+    if mask3_full is not None:
+        m3 = np.zeros(D * Es)
+        m3[slot] = mask3_full[order]
+        mask3 = jnp.asarray(m3)
 
     # landmarks: [D, Ls, 3]
     Xw = np.zeros((D, Ls, 3))
@@ -192,6 +236,8 @@ def shard_problem(problem, num_shards: int) -> ShardedProblem:
         diag_pos=jnp.asarray(s.diag_pos),
         kind=problem.kind,
         pc=pc,
+        mask3=mask3,
+        outlier_threshold=float(outlier_threshold),
     )
 
 
@@ -206,11 +252,12 @@ class _EdgeData:
     pose_xp = None
     lm_xp = None
     lm_slot = None
-    mask3 = None
 
-    def __init__(self, sp: ShardedProblem, meas, omega, cam, pose_idx, lm_local, active):
+    def __init__(self, sp: ShardedProblem, meas, omega, cam, pose_idx,
+                 lm_local, active, mask3=None):
         self.meas, self.omega, self.cam = meas, omega, cam
         self.pose_idx, self.lm_idx, self.active = pose_idx, lm_local, active
+        self.mask3 = mask3
         # landmarks are never fixed in the sharded path (padding edges carry
         # active = 0), so both_free is just the pose-freedom mask
         self.both_free = (pose_idx < sp.num_active_poses).astype(omega.dtype)
@@ -305,12 +352,14 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
     """
     axis = mesh.axis_names[0]
     chi_and_system, chi_only, trial, _ = _make_shard_fns(mesh, sp, rk, delta)
+    has_m3 = sp.mask3 is not None
 
     def _step(
-        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active,
+        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active, mask3,
         tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, pc, lam,
     ):
-        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active)
+        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active,
+                       mask3 if has_m3 else None)
         chi0, sys = chi_and_system(q, t, Xw, ed)
         q2, t2, Xw2, scale, success = trial(
             q, t, Xw, sys, lam, ed, tri_ei, tri_ej, tri_k,
@@ -324,7 +373,7 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
         mesh=mesh,
         in_specs=(
             P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(), P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P(axis), P(), P(), P(), P()),
@@ -335,7 +384,8 @@ def make_distributed_lm_step(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta:
     def step(q, t, Xw_sh, lam):
         return sharded(
             q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
-            sp.active, sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
+            sp.active, sp.mask3 if has_m3 else sp.active,
+            sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
             sp.diag_pos, sp.pc, lam,
         )
 
@@ -357,11 +407,14 @@ def make_distributed_optimize_fused(
         mesh, sp, rk, delta
     )
 
+    has_m3 = sp.mask3 is not None
+
     def _opt(
-        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active,
+        q, t, Xw, meas, omega, cam, pose_idx, lm_local, active, mask3,
         tri_ei, tri_ej, tri_k, blk_row, blk_col, diag_pos, pc,
     ):
-        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active)
+        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active,
+                       mask3 if has_m3 else None)
         dtype = omega.dtype
 
         def run_trial(q_c, t_c, Xw_c, sys, lam):
@@ -455,7 +508,7 @@ def make_distributed_optimize_fused(
         mesh=mesh,
         in_specs=(
             P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(), P(), P(), P(),
         ),
         out_specs=(P(), P(), P(axis), P(), P()),
@@ -463,10 +516,12 @@ def make_distributed_optimize_fused(
     )
 
     @jax.jit
-    def optimize(q, t, Xw_sh):
+    def optimize(q, t, Xw_sh, active=None):
         return sharded(
             q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
-            sp.active, sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
+            sp.active if active is None else active,
+            sp.mask3 if has_m3 else sp.active,
+            sp.tri_ei, sp.tri_ej, sp.tri_k, sp.blk_row, sp.blk_col,
             sp.diag_pos, sp.pc,
         )
 
@@ -483,6 +538,49 @@ def distributed_optimize(
     q, t, Xw, trace, n_done = opt(sp.pose_q, sp.pose_t, sp.Xw)
     n = int(n_done)
     return [float(x) for x in trace[:n]], (q, t, Xw)
+
+
+def make_distributed_update_edges(mesh: Mesh, sp: ShardedProblem, rk: int = 0, delta: float = 1.0):
+    """Distributed outlier thresholding (gpu::computeOutliers + edge
+    deactivation, cuda_block_solver.cu:1135-1149 / optimisable_graph.hpp:604-640,
+    recast as masking like the single-chip path): edges whose robustified chi2
+    exceeds ``sp.outlier_threshold`` get ``active = 0`` for subsequent
+    optimize calls.  Returns ``update(q, t, Xw_sh, active) -> (active', n_new)``.
+    """
+    axis = mesh.axis_names[0]
+    model = MODEL_REGISTRY[sp.kind]
+    thr = float(sp.outlier_threshold)
+    has_m3 = sp.mask3 is not None
+
+    def _upd(q, t, Xw, meas, omega, cam, pose_idx, lm_local, active, mask3):
+        ed = _EdgeData(sp, meas, omega, cam, pose_idx, lm_local, active,
+                       mask3 if has_m3 else None)
+        graph = GraphArrays(q=q, t=t, Xw=Xw)
+        chi_e = model.chi(graph, ed, rk, delta)  # [Es]; 0 for inactive rows
+        was = active > 0
+        keep = was & (chi_e <= thr)
+        n_new = jax.lax.psum(jnp.sum(was & ~keep), axis)
+        return keep.astype(active.dtype), n_new
+
+    sharded = jax.shard_map(
+        _upd,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis), P(None, axis), P(axis), P(None, axis), P(axis),
+            P(axis), P(axis), P(axis),
+        ),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def update(q, t, Xw_sh, active):
+        return sharded(
+            q, t, Xw_sh, sp.meas, sp.omega, sp.cam, sp.pose_idx, sp.lm_local,
+            active, sp.mask3 if has_m3 else active,
+        )
+
+    return update
 
 
 def gather_landmarks(sp: ShardedProblem, Xw_sh) -> np.ndarray:

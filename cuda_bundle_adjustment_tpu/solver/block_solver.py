@@ -38,6 +38,13 @@ from ..types import GraphArrays, PackedEdges, SystemBlocks
 from .symbolic import SchurStructure, build_schur_structure
 
 
+# Pose count above which a wide (non-banded) Hsc pattern solves with
+# block-Jacobi PCG instead of densifying (below it the dense MXU Cholesky is
+# both faster and exact; module-level so tests can force the PCG path on
+# small, oracle-checkable graphs).
+PCG_MIN_POSES = 1024
+
+
 class EdgeSetMeta(NamedTuple):
     """Static (hashable) per-edge-set compile-time info."""
 
@@ -229,7 +236,7 @@ def _resolve_schur_plan(plan: SchurPlan) -> SchurPlan:
         if isinstance(v, PcgPlan):
             return PcgPlan(
                 *(x.get() if isinstance(x, _Handle) else x for x in v[:4]),
-                v.nch,
+                v.nch, v.tol, v.maxiter,
             )
         if isinstance(v, tuple) and any(isinstance(x, _Handle) for x in v):
             return tuple(x.get() if isinstance(x, _Handle) else x for x in v)
@@ -1459,7 +1466,7 @@ class BlockSolver:
         # wide pattern at scale (no band even after RCM): preconditioned CG
         # instead of the O(Pa^2)-memory dense build
         pcg_plan = None
-        if band_meta is None and s.nnz_blocks and self.Pa >= 1024:
+        if band_meta is None and s.nnz_blocks and self.Pa >= PCG_MIN_POSES:
             from .pcg import build_pcg_plan
 
             pcg_plan = build_pcg_plan(s.blk_row, s.blk_col, self.Pa, pool=pool)

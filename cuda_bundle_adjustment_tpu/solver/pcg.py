@@ -31,20 +31,27 @@ CG_TOL = 1e-10
 
 
 class PcgPlan(NamedTuple):
-    """Host-built scatter plan for the chunk-diagonal preconditioner."""
+    """Host-built scatter plan for the chunk-diagonal preconditioner.
+
+    ``tol``/``maxiter`` are captured at build time from the module constants
+    and ride the pytree AUX data: jitted programs key on them, so a solver
+    built under different CG settings (tests, tuning) can never hit a stale
+    compiled loop with the old constants baked in."""
 
     src: jnp.ndarray  # [n_in] nnz block ids inside a diagonal chunk
     dst: jnp.ndarray  # [n_in, 36] flat scalar scatter position
     src_m: jnp.ndarray  # [n_mir] off-diagonal in-chunk block ids (mirrored)
     dst_m: jnp.ndarray  # [n_mir, 36] flat position of the transposed value
     nch: int  # number of pose chunks
+    tol: float = CG_TOL
+    maxiter: int = CG_MAXITER
 
 
-# leafless static int + device arrays: register so it can ride a jitted plan
+# leafless static ints + device arrays: register so it can ride a jitted plan
 jax.tree_util.register_pytree_node(
     PcgPlan,
-    lambda p: ((p.src, p.dst, p.src_m, p.dst_m), p.nch),
-    lambda aux, ch: PcgPlan(*ch, aux),
+    lambda p: ((p.src, p.dst, p.src_m, p.dst_m), (p.nch, p.tol, p.maxiter)),
+    lambda aux, ch: PcgPlan(*ch, *aux),
 )
 
 
@@ -86,6 +93,8 @@ def build_pcg_plan(
         src_m=conv(src_m.astype(np.int32)),
         dst_m=conv(dst_m.astype(np.int32)),
         nch=nch,
+        tol=CG_TOL,
+        maxiter=CG_MAXITER,
     )
 
 
@@ -97,8 +106,8 @@ def solve_blocks_pcg(
     blk_col: jnp.ndarray,
     diag_pos: jnp.ndarray,
     pc: PcgPlan,
-    tol: float = CG_TOL,
-    maxiter: int = CG_MAXITER,
+    tol: float | None = None,
+    maxiter: int | None = None,
     row_plan=None,
     col_plan=None,
 ):
@@ -110,6 +119,8 @@ def solve_blocks_pcg(
     reference treats a zero pivot, cuda_linear_solver.cpp:48-52)."""
     from jax.scipy.linalg import solve_triangular
 
+    tol = pc.tol if tol is None else tol
+    maxiter = pc.maxiter if maxiter is None else maxiter
     nnz = blocks.shape[0]
     dtype = blocks.dtype
     w = PC_CHUNK * 6

@@ -278,10 +278,14 @@ def reduce_rows_ff(Xff: jnp.ndarray, plan: BucketPlan, dtype) -> jnp.ndarray:
 def reduce_rows_f64_packed(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
     """:func:`reduce_rows` for f64 rows via ONE ff-packed gather.
 
-    Splits ``X`` into exact (hi, lo) f32 halves (two cheap elementwise
-    passes), packs them side by side and reduces with
-    :func:`reduce_rows_ff` — halving the per-row gather cost that dominates
-    bucketed f64 reductions on TPU.  Bit-identical to ``reduce_rows(X)``.
+    Splits ``X`` into (hi, lo) f32 halves (two cheap elementwise passes),
+    packs them side by side and reduces with :func:`reduce_rows_ff` —
+    halving the per-row gather cost that dominates bucketed f64 reductions
+    on TPU.  On TPU the split is EXACT (an f64 there is a float-float pair,
+    CLAUDE.md) so the result is bit-identical to ``reduce_rows(X)``
+    (tests/test_segments.py pins this on ff-representable inputs); on a
+    true-IEEE f64 host the split truncates the lowest ~5 mantissa bits
+    (~2**-48 relative — irrelevant at the solver's 1e-9 RMSE bar).
     Non-f64 inputs pass straight through.
     """
     if X.dtype != jnp.float64:

@@ -126,7 +126,12 @@ def robust_deriv(rk, delta, x):
 
 
 class DenseLM:
-    """Dense LM on a mono/stereo BA problem in packed-array form."""
+    """Dense LM on a mono/stereo BA problem in packed-array form.
+
+    Accepts a single-kind ``BAProblem`` or a ``MixedBAProblem`` (several edge
+    specs over shared vertices, e.g. mono+stereo — the reference's real input
+    shape, samples/sample_ba_from_file/main.cpp:121-165); mixed problems keep
+    a per-edge ``kind`` so every edge runs its own residual/Jacobian."""
 
     def __init__(self, problem, rk=0, delta=1.0):
         self.q = problem.pose_q.copy()
@@ -134,14 +139,37 @@ class DenseLM:
         self.Xw = problem.landmarks.copy()
         self.Pa = problem.num_active_poses
         self.La = problem.num_active_landmarks
-        self.meas = problem.meas
-        self.pose_idx = problem.pose_idx
-        self.lm_idx = problem.lm_idx
-        self.omega = problem.omega
+        if hasattr(problem, "specs"):  # MixedBAProblem
+            self.meas = [
+                np.asarray(m, dtype=np.float64)
+                for s in problem.specs
+                for m in np.asarray(s["meas"])
+            ]
+            self.pose_idx = np.concatenate(
+                [np.asarray(s["pose_idx"]) for s in problem.specs]
+            )
+            self.lm_idx = np.concatenate(
+                [np.asarray(s["lm_idx"]) for s in problem.specs]
+            )
+            self.omega = np.concatenate(
+                [np.asarray(s["omega"], dtype=np.float64) for s in problem.specs]
+            )
+            self.kinds = [
+                s["kind"] for s in problem.specs for _ in range(len(s["meas"]))
+            ]
+        else:
+            self.meas = problem.meas
+            self.pose_idx = problem.pose_idx
+            self.lm_idx = problem.lm_idx
+            self.omega = problem.omega
+            self.kinds = None
+            self.kind = problem.kind
         self.cam = problem.cam
-        self.kind = problem.kind
         self.rk, self.delta = rk, delta
         self.chi_trace = []
+
+    def _kind_of(self, e):
+        return self.kinds[e] if self.kinds is not None else self.kind
 
     def _residual_one(self, e):
         iP, iL = self.pose_idx[e], self.lm_idx[e]
@@ -150,12 +178,13 @@ class DenseLM:
         iz = 1.0 / Xc[2]
         u = fx * Xc[0] * iz + cx
         v = fy * Xc[1] * iz + cy
-        if self.kind == "mono":
+        kind = self._kind_of(e)
+        if kind == "mono":
             proj = np.array([u, v])
-        elif self.kind == "stereo":
+        elif kind == "stereo":
             proj = np.array([u, v, u - bf * iz])
         else:
-            raise ValueError(self.kind)
+            raise ValueError(kind)
         return proj - self.meas[e], Xc
 
     def compute_chi(self):
@@ -171,7 +200,7 @@ class DenseLM:
         iz = 1.0 / Z
         izz = iz * iz
         R = quat_to_rotmat(self.q[self.pose_idx[e]])
-        if self.kind == "mono":
+        if self._kind_of(e) == "mono":
             x, y = X * iz, Y * iz
             JL = np.empty((2, 3))
             JL[0] = -fx * iz * (R[0] - x * R[2])

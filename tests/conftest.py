@@ -37,6 +37,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # after clear_caches()); the on-disk compilation cache above makes the
 # subsequent recompiles cheap cache reads.
 
+def pytest_collection_modifyitems(config, items):
+    """``tpu``-marked tests need real hardware AND must not inherit this
+    conftest's CPU pin — they run tools in subprocesses.  Skip them unless
+    explicitly requested (TBA_TPU_TESTS=1, typically with ``-m tpu``)."""
+    if os.environ.get("TBA_TPU_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="TPU hardware test: set TBA_TPU_TESTS=1 (and run on hardware)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
+
 _MAPS_BUDGET = 25_000
 
 

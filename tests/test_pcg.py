@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cuda_bundle_adjustment_tpu.solver.pcg import build_pcg_plan, solve_blocks_pcg
 
@@ -74,3 +75,89 @@ def test_pcg_reports_failure_on_indefinite():
         maxiter=50,
     )
     assert not bool(ok)
+
+
+# ---------------------------------------------------------------------------
+# PCG engaged inside the full LM pipeline (VERDICT r2 items 5: the reference
+# factors Hsc to machine precision every trial, cholesky.hpp:246-283; the PCG
+# fallback must reproduce the same LM trajectory, and an unconverged CG must
+# reject the step exactly like the reference's zero-pivot path,
+# cuda_linear_solver.cpp:44-57)
+# ---------------------------------------------------------------------------
+
+
+def _pcg_loop_closure_opt(monkeypatch, seed=21, num_poses=160):
+    """A loop-closure graph SMALL enough for the dense f64 oracle but forced
+    onto the PCG wide-pattern path (PCG_MIN_POSES -> 0).  num_poses must
+    exceed PC_CHUNK (64) so the chunk-Jacobi preconditioner is NOT the exact
+    factor and CG genuinely iterates."""
+    import cuda_bundle_adjustment_tpu.solver.block_solver as BS
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_loop_closure_problem
+
+    monkeypatch.setattr(BS, "PCG_MIN_POSES", 0)
+    p = make_loop_closure_problem(
+        num_poses=num_poses, num_landmarks=500, mean_obs_per_landmark=4.0,
+        long_range_fraction=0.3, seed=seed,
+    )
+    opt = optimizer_from_problem(p)
+    opt.solver.build_structure()
+    return opt, p
+
+
+def test_pcg_path_chi2_trace_matches_dense_oracle(monkeypatch):
+    """chi2-trace parity on the PCG path vs the dense f64 oracle: the CG
+    solve (tol 1e-10 on the Jacobi-scaled system) must take the SAME LM steps
+    as an exact factorization to ~1e-6 relative chi2 — the bar the direct
+    paths meet (tests/test_lm.py)."""
+    from reference_impl import DenseLM
+
+    opt, p = _pcg_loop_closure_opt(monkeypatch)
+    assert opt.solver.plan.pcg is not None, "PCG fallback did not engage"
+    assert opt.solver.plan.band is None
+    opt.optimize(6)
+    got = [s.chi2 for s in opt.batch_statistics().get()]
+
+    ref = DenseLM(p)
+    want = ref.optimize(6)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pcg_maxiter_rejection_then_redamp_accepts(monkeypatch):
+    """When CG hits maxiter unconverged the trial must report failure (step
+    rejected, LM re-damps — the zero-pivot semantics); at a heavily damped
+    lambda the same system converges and the step is accepted."""
+    import cuda_bundle_adjustment_tpu.solver.pcg as pcg_mod
+
+    # maxiter=2 cannot converge at small lambda on a >1-chunk loop-closure
+    # system (needs tens of iterations); the plan captures maxiter as static
+    # aux so the jitted trial is keyed on it (no cache poisoning).  maxiter=1
+    # would never converge at ANY lambda: the preconditioner is factored in
+    # f32 (pcg.py:136-151), leaving a ~1e-7 relative residual the second
+    # iteration exists to correct, vs the 1e-10 convergence bar.
+    monkeypatch.setattr(pcg_mod, "CG_MAXITER", 2)
+    opt, p = _pcg_loop_closure_opt(monkeypatch, seed=22)
+    solver = opt.solver
+    assert solver.plan.pcg is not None and solver.plan.pcg.maxiter == 2
+
+    chi_dev, sys_ = solver.head()
+    F = float(chi_dev)
+    lam_small = 1e-5 * solver.max_diagonal(sys_)
+    _, _, _, success = solver.trial(sys_, lam_small)
+    assert not bool(success), "2-iteration CG cannot have converged"
+
+    # re-damp hard: as lambda grows the Jacobi-scaled system approaches the
+    # identity and the off-chunk coupling the preconditioner misses shrinks
+    # like 1/lambda, so CG converges within its two iterations
+    lam_big = lam_small
+    accepted = False
+    for _ in range(40):
+        new_graph, Fhat_dev, scale_dev, success_dev = solver.trial(sys_, lam_big)
+        if bool(success_dev):
+            rho = (F - float(Fhat_dev)) / (float(scale_dev) + 1e-3)
+            if rho > 0:
+                accepted = True
+                break
+        lam_big *= 10.0
+    assert accepted, "re-damped trial should converge and be accepted"
