@@ -429,6 +429,16 @@ def _build_system_impl(
 
     if all_ba and plan is not None:
         combined = jnp.concatenate([s for s, _ in pose_stacks], axis=0)  # [E,72]
+        if dtype != jnp.float64:
+            # f32 fusion pathology: XLA's cost model treats the f32 per-edge
+            # model as cheap enough to RECOMPUTE into every consumer of this
+            # stack (pose presum, lm slot sum, the bucket gathers, the Hpl
+            # output) instead of materialising it once — measured 60 ms vs
+            # 7 ms net at kitti00 scale (tools/f32_diag3.py).  The barrier
+            # forces one materialisation.  f64 already materialises (emulated
+            # ops are costed high) and is bit-identical without it, so it is
+            # left un-barriered to keep its established trace bit-exact.
+            combined = jax.lax.optimization_barrier(combined)
         if plan.layout is not None:
             pose_acc = reduce_rows_f64_packed(
                 _pose_chunk_presum(combined, plan)[:, :42], plan.pose_plan
