@@ -206,6 +206,20 @@ def _pairprod_call_v2(hh, hl, ih, il, a_lut, b_lut, d, gc, interpret=False):
         )(a_lut, b_lut, hh, hl, ih, il)
 
 
+def schur_pair_rows_packed(Hpl36, invHll, plan, interpret: bool = False):
+    """:func:`schur_pair_rows_v2` taking the float-float PACKED component-major
+    Hpl the fused linearisation kernel emits (``[36, e_total]`` f32: hi rows
+    0:18 | lo rows 18:36) — skips the transpose + re-split entirely."""
+    layout = plan.layout
+    dtype = invHll.dtype
+    hhi = Hpl36[:18]
+    hlo = Hpl36[18:]
+    IT = invHll.T  # [9, La]
+    ihi = IT.astype(jnp.float32)
+    ilo = (IT - ihi.astype(dtype)).astype(jnp.float32)
+    return _pair_rows_from_splits(hhi, hlo, ihi, ilo, plan, interpret)
+
+
 def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
     """Grouped pair-product rows for all classes, W = Hpl @ inv(Hll) formed
     inside the kernel — no f64 W materialisation, no ib expansion.
@@ -224,7 +238,11 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
     IT = invHll.T  # [9, La]
     ihi = IT.astype(jnp.float32)
     ilo = (IT - ihi.astype(dtype)).astype(jnp.float32)
+    return _pair_rows_from_splits(hhi, hlo, ihi, ilo, plan, interpret)
 
+
+def _pair_rows_from_splits(hhi, hlo, ihi, ilo, plan, interpret: bool = False):
+    layout = plan.layout
     rows = []
     for ci, cm in enumerate(layout.classes):
         span = cm.d * cm.gc * cm.nc_pad

@@ -164,9 +164,11 @@ def _make_terms_kernel(d: int, gc: int, mdim: int, has_m3: bool):
 
     def kernel(cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l,
                act_ref, m3_ref, pose_h, pose_l, lm_h, lm_l, hpl_h, hpl_l):
-        def dfc(k):  # camera constant k as a [1,1] df pair (broadcasts; the
-            # Dekker _split bitcast needs >= 2-D values)
-            return (cam_ref[0:1, k : k + 1], cam_ref[1:2, k : k + 1])
+        def dfc(k):  # camera constant k as a [1, 128] df pair: lane-
+            # broadcast ALREADY done on the host (Mosaic cannot lower a
+            # [1,1] -> [DG,128] two-axis broadcast; a [1,128] value only
+            # broadcasts along sublanes, which it can)
+            return (cam_ref[k : k + 1, :], cam_ref[5 + k : 5 + k + 1, :])
 
         fx, fy, bf = dfc(0), dfc(1), dfc(4)
         # cx/cy (dfc(2), dfc(3)) cancel out of e: e0 = fx*x*iz + cx - m0 and
@@ -374,7 +376,8 @@ def terms_class_call(
     """One class's fused linearisation.
 
     Inputs (f32, component-major; DG = d*gc; lanes = chunks):
-      cam  [2, 128]         camera (hi row 0, lo row 1; fx fy cx cy bf at 0:5)
+      cam  [10, 128]        camera, lane-broadcast (hi rows 0:5, lo rows 5:10
+                            in fx fy cx cy bf order)
       qt_* [12, DG, nc_pad] per-edge pose state (t | R row-major)
       xw_* [3, DG, nc_pad]  per-edge landmark state (slot-tiled)
       ms_* [3, DG, nc_pad]  measurements
@@ -398,7 +401,7 @@ def terms_class_call(
         return (0, g)
 
     in_specs = [
-        pl.BlockSpec((2, 128), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((10, 128), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((12, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
         pl.BlockSpec((12, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
         pl.BlockSpec((3, DG, TILE_N), m3d, memory_space=pltpu.VMEM),

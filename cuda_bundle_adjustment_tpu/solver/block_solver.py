@@ -318,6 +318,288 @@ def _pose_chunk_presum(X, plan):
     return jnp.concatenate(parts, axis=0)
 
 
+def _lm_slot_sum_cm(Xcm, plan, num_active_landmarks):
+    """Component-major :func:`_lm_slot_sum`: ``Xcm [K, E']`` -> ``[K, La]``."""
+    lay = plan.layout
+    K = Xcm.shape[0]
+    parts = []
+    covered = 0
+    for cm in lay.classes:
+        S = cm.gc * cm.nc_pad
+        seg = jax.lax.slice_in_dim(
+            Xcm, cm.e_start, cm.e_start + cm.d * S, axis=1
+        )
+        parts.append(seg.reshape(K, cm.d, S).sum(axis=1))
+        covered += S
+    if covered < num_active_landmarks:
+        parts.append(
+            jnp.zeros((K, num_active_landmarks - covered), Xcm.dtype)
+        )
+    acc = (
+        jnp.concatenate(parts, axis=1)
+        if parts
+        else jnp.zeros((K, num_active_landmarks), Xcm.dtype)
+    )
+    if lay.n_extras:
+        ex = jax.lax.slice_in_dim(Xcm, lay.e_classes, lay.e_total, axis=1)
+        acc = acc + segment_sum(
+            ex.T, plan.lm_extra_pos, num_segments=num_active_landmarks
+        ).T
+    return acc
+
+
+def _lm_slot_expand_cm(tblT, plan):
+    """Component-major :func:`_lm_slot_expand`: ``tblT [K, La]`` -> ``[K, E']``."""
+    lay = plan.layout
+    parts = []
+    for cm in lay.classes:
+        S = cm.gc * cm.nc_pad
+        cls = jax.lax.slice_in_dim(tblT, cm.lm_start, cm.lm_start + S, axis=1)
+        parts.append(jnp.tile(cls, (1, cm.d)))
+    if lay.n_extras:
+        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], tblT.shape[1] - 1)
+        parts.append(tblT[:, idx])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pose_chunk_presum_cm(Xcm, plan):
+    """Component-major :func:`_pose_chunk_presum`: ``[K, E']`` -> ``[K, M]``."""
+    lay = plan.layout
+    K = Xcm.shape[0]
+    parts = []
+    for cm in lay.classes:
+        S = cm.gc * cm.nc_pad
+        seg = jax.lax.slice_in_dim(
+            Xcm, cm.e_start, cm.e_start + cm.d * S, axis=1
+        )
+        parts.append(
+            seg.reshape(K, cm.d, cm.gc, cm.nc_pad)
+            .sum(axis=2)
+            .reshape(K, cm.d * cm.nc_pad)
+        )
+    if lay.n_extras:
+        parts.append(
+            jax.lax.slice_in_dim(Xcm, lay.e_classes, lay.e_total, axis=1)
+        )
+    return jnp.concatenate(parts, axis=1)
+
+
+def _xp_expand_cm(xp, plan, Pa):
+    """Component-major per-edge xp expansion (see schur_back_substitute):
+    ``xp [Pa, 6]`` -> ``[6, E']`` in group-layout edge order."""
+    lay = plan.layout
+    xp_cT = xp[jnp.minimum(plan.chunk_pose, Pa - 1)].T  # [6, M]
+    parts = []
+    off = 0
+    for cm in lay.classes:
+        rows = cm.d * cm.nc_pad
+        seg = jax.lax.slice_in_dim(xp_cT, off, off + rows, axis=1)
+        parts.append(
+            jnp.broadcast_to(
+                seg.reshape(6, cm.d, 1, cm.nc_pad),
+                (6, cm.d, cm.gc, cm.nc_pad),
+            ).reshape(6, cm.d * cm.gc * cm.nc_pad)
+        )
+        off += rows
+    if lay.n_extras:
+        idx = plan.ba_pose_idx[lay.e_classes :]
+        parts.append(xp.T[:, jnp.minimum(idx, Pa - 1)])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _hpl_f64_cm(Hpl36):
+    """Recombine the packed float-float Hpl ``[36, E]`` f32 to f64 ``[18, E]``."""
+    return Hpl36[:18].astype(jnp.float64) + Hpl36[18:].astype(jnp.float64)
+
+
+def _flat_mv_6x3_cm(A18cm, v3cm):
+    """``y[i] = sum_c A[3i+c] v[c]`` on component-major rows -> ``[6, E]``."""
+    return jnp.stack(
+        [
+            sum(A18cm[i * 3 + c] * v3cm[c] for c in range(3))
+            for i in range(6)
+        ],
+        axis=0,
+    )
+
+
+def _flat_mtv_6x3_cm(A18cm, v6cm):
+    """``y[j] = sum_c A[c*3+j] v[c]`` on component-major rows -> ``[3, E]``."""
+    return jnp.stack(
+        [
+            sum(A18cm[c * 3 + j] * v6cm[c] for c in range(6))
+            for j in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
+    """build_system via the fused linearisation kernel (pallas/terms.py).
+
+    Emits the same SystemBlocks as the XLA path EXCEPT ``Hpl``, which stays
+    in the kernel's packed float-float component-major form ``[36, e_total]``
+    f32 (hi rows | lo rows) — the format the Schur pair-product kernel and
+    the (recombined-on-the-fly) trial products consume.  Gated by
+    ``plan.layout.terms_kernel`` so every consumer agrees on the layout."""
+    from ..pallas import terms as _terms
+    from ..pallas.terms import split_ff
+    from .segments import reduce_rows_ff_cmajor
+
+    lay = plan.layout
+    dtype = graph.q.dtype
+    if pose_state is None:
+        if data.pose_xp is not None:
+            from ..models.ba import expand_pose_state
+
+            pose_state = expand_pose_state(graph, data)
+        else:  # CPU / interpret testing: no expand plan, plain XLA gather
+            from ..models.ba import _pose_state_table
+
+            sT = _pose_state_table(graph).T  # [12, P]
+            pose_state = sT[
+                :, jnp.minimum(data.pose_idx, sT.shape[1] - 1)
+            ]
+    qt_h, qt_l = split_ff(pose_state)  # [12, E]
+    xw_h, xw_l = split_ff(graph.Xw.T)  # [3, L]
+    meas = data.meas
+    if meas.shape[0] < 3:  # pure-mono set: pad the unused third row
+        meas = jnp.concatenate(
+            [meas, jnp.zeros((3 - meas.shape[0], meas.shape[1]), meas.dtype)],
+            axis=0,
+        )
+    ms_h, ms_l = split_ff(meas)
+    omega = data.omega
+    if omega.shape[0] == 1:
+        omega = jnp.broadcast_to(omega, data.active.shape)
+    wa_h, wa_l = split_ff(omega * data.active)
+    act32 = data.active.astype(jnp.float32)
+    m3_32 = None if data.mask3 is None else data.mask3.astype(jnp.float32)
+    cam64 = data.cam[:, 0]
+    cam_hi = cam64.astype(jnp.float32)
+    cam_lo = (cam64 - cam_hi.astype(dtype)).astype(jnp.float32)
+    cam = jnp.broadcast_to(
+        jnp.concatenate([cam_hi, cam_lo])[:, None], (10, 128)
+    )
+    mdim = 2 if meta.kind == "mono" else 3
+
+    pose_parts_h, pose_parts_l = [], []
+    lm_parts_h, lm_parts_l = [], []
+    hpl_parts_h, hpl_parts_l = [], []
+    for ci, cm in enumerate(lay.classes):
+        DG = cm.d * cm.gc
+        span = DG * cm.nc_pad
+        S = cm.gc * cm.nc_pad
+
+        def csl(x, lead):
+            return jax.lax.slice_in_dim(
+                x, cm.e_start, cm.e_start + span, axis=1
+            ).reshape(lead, DG, cm.nc_pad)
+
+        xw_c_h = jnp.tile(
+            jax.lax.slice_in_dim(
+                xw_h, cm.lm_start, cm.lm_start + S, axis=1
+            ).reshape(3, cm.gc, cm.nc_pad),
+            (1, cm.d, 1),
+        )
+        xw_c_l = jnp.tile(
+            jax.lax.slice_in_dim(
+                xw_l, cm.lm_start, cm.lm_start + S, axis=1
+            ).reshape(3, cm.gc, cm.nc_pad),
+            (1, cm.d, 1),
+        )
+        act_c = jax.lax.slice_in_dim(
+            act32, cm.e_start, cm.e_start + span, axis=0
+        ).reshape(DG, cm.nc_pad)
+        m3_c = (
+            None
+            if m3_32 is None
+            else jax.lax.slice_in_dim(
+                m3_32, cm.e_start, cm.e_start + span, axis=0
+            ).reshape(DG, cm.nc_pad)
+        )
+        ph, pl_, lh, ll, hh, hl = _terms.terms_class_call(
+            cam,
+            csl(qt_h, 12), csl(qt_l, 12),
+            xw_c_h, xw_c_l,
+            csl(ms_h, 3), csl(ms_l, 3),
+            wa_h[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
+            wa_l[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
+            act_c,
+            m3_c,
+            d=cm.d, gc=cm.gc, mdim=mdim, has_m3=m3_32 is not None,
+        )
+        pose_parts_h.append(ph.reshape(42, cm.d * cm.nc_pad))
+        pose_parts_l.append(pl_.reshape(42, cm.d * cm.nc_pad))
+        lm_parts_h.append(lh.reshape(12, S))
+        lm_parts_l.append(ll.reshape(12, S))
+        hpl_parts_h.append(hh.reshape(18, span))
+        hpl_parts_l.append(hl.reshape(18, span))
+
+    # extras (single-free edges): tiny, keep the XLA model on a sliced view
+    n_ex = lay.n_extras
+    if n_ex:
+        ex_sl = slice(lay.e_classes, lay.e_total)
+        ex_data = data._replace(
+            meas=data.meas[:, ex_sl],
+            omega=data.omega if data.omega.shape[0] == 1 else data.omega[ex_sl],
+            cam=data.cam,
+            pose_idx=data.pose_idx[ex_sl],
+            lm_idx=data.lm_idx[ex_sl],
+            both_free=data.both_free[ex_sl],
+            active=data.active[ex_sl],
+            pose_xp=None,
+            lm_xp=None,
+            lm_slot=None,
+            mask3=None if data.mask3 is None else data.mask3[ex_sl],
+        )
+        model = MODEL_REGISTRY[meta.kind]
+        ex_pose, ex_lm, ex_hpl = model.terms(
+            graph, ex_data, meta.rk, meta.delta
+        )
+        ex_pose_h, ex_pose_l = split_ff(ex_pose.T)
+        pose_parts_h.append(ex_pose_h)
+        pose_parts_l.append(ex_pose_l)
+        ex_hpl_h, ex_hpl_l = split_ff(ex_hpl.T)
+        hpl_parts_h.append(ex_hpl_h)
+        hpl_parts_l.append(ex_hpl_l)
+
+    pose_ff = jnp.concatenate(
+        [jnp.concatenate(pose_parts_h, axis=1),
+         jnp.concatenate(pose_parts_l, axis=1)],
+        axis=0,
+    )  # [84, M (+extras)]
+    pose_acc = reduce_rows_ff_cmajor(pose_ff, plan.pose_plan, dtype).T
+
+    lm_h_cat = jnp.concatenate(lm_parts_h, axis=1)
+    lm_l_cat = jnp.concatenate(lm_parts_l, axis=1)
+    covered = lm_h_cat.shape[1]
+    lm_cm = lm_h_cat.astype(dtype) + lm_l_cat.astype(dtype)  # [12, covered]
+    if covered < La:
+        lm_cm = jnp.concatenate(
+            [lm_cm, jnp.zeros((12, La - covered), dtype)], axis=1
+        )
+    lm_acc = lm_cm.T
+    if n_ex:
+        lm_acc = lm_acc + segment_sum(
+            ex_lm, plan.lm_extra_pos, num_segments=La
+        )
+
+    Hpl36 = jnp.concatenate(
+        [jnp.concatenate(hpl_parts_h, axis=1),
+         jnp.concatenate(hpl_parts_l, axis=1)],
+        axis=0,
+    )  # [36, e_total] f32 ff-packed, component-major
+
+    return SystemBlocks(
+        Hpp=pose_acc[:, :36].reshape(Pa, 6, 6),
+        bp=pose_acc[:, 36:],
+        Hll=lm_acc[:, :9],
+        bl=lm_acc[:, 9:],
+        Hpl=Hpl36,
+    )
+
+
 def compute_chi(
     graph: GraphArrays,
     packed: tuple[PackedEdges, ...],
@@ -392,6 +674,23 @@ def _build_system_impl(
 
     Pa, La = num_active_poses, num_active_landmarks
     dtype = graph.q.dtype
+
+    # fused linearisation kernel path (pallas/terms.py): everything below is
+    # computed in one Pallas call per co-visibility class with only the
+    # reduced outputs written.  with_chi callers (none today) keep the XLA
+    # path — its Hpl layout differs (packed ff component-major), and the two
+    # MUST not mix within one solver instance.
+    if (
+        not with_chi
+        and len(packed) == 1
+        and plan is not None
+        and plan.layout is not None
+        and getattr(plan.layout, "terms_kernel", False)
+    ):
+        return _build_system_terms_kernel(
+            graph, packed[0], metas[0], Pa, La, plan, pose_state
+        ), None
+
     pose_stacks, lm_stacks, Hpl_parts = [], [], []
     all_ba = all(m.has_landmark for m in metas)
 
@@ -723,14 +1022,38 @@ def schur_reduce(
     # one-thread-per-triple atomics, cuda_block_solver.cu:1327-1345).
     if plan.layout is not None and plan.layout.use_kernel:
         from ..ops.components import flat_mv_3x3
-        from ..pallas.pairprod import schur_pair_rows_v2
+        from ..pallas.pairprod import schur_pair_rows_packed, schur_pair_rows_v2
+        from .segments import reduce_rows_f64_cmajor
 
         y = flat_mv_3x3(invHll, sys.bl)  # [La,3] per-landmark inv(Hll) bl
-        bsc_rows = flat_mv_6x3(sys.Hpl, _lm_slot_expand(y, plan))
-        bsc = sys.bp - reduce_rows_f64_packed(
-            _pose_chunk_presum(bsc_rows, plan), plan.bsc_plan
-        )
-        rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)  # [n, 72] ff-packed
+        # optimization_barrier (both branches): this f64 product is the only
+        # per-trial f64 consumer of Hpl, and XLA's float-float mul emulation
+        # contains is-finite/inf-handling subexpressions of the Hpl operand
+        # alone.  Because Hpl is invariant across the inner damping trials,
+        # LICM hoists those as ~[E,1] pred/f32 buffers carried through the
+        # inner while loop — ten S(1)<->HBM round-trips per iteration,
+        # ~10 ms/iter in the device trace (tools/trace_fused.py).  The
+        # barrier pins the emulation inside the trial where it fuses with
+        # the mul for free.  (The pairprod path's hi/lo SPLITS of Hpl stay
+        # un-barriered: that hoist is the good kind.)
+        if getattr(plan.layout, "terms_kernel", False):
+            # Hpl arrives ff-packed component-major from pallas/terms.py;
+            # recombine on the fly for the f64 product (fuses into the mul)
+            Hpl_cm = _hpl_f64_cm(jax.lax.optimization_barrier(sys.Hpl))
+            ib_cm = _lm_slot_expand_cm(y.T, plan)
+            bsc_rows_cm = _flat_mv_6x3_cm(Hpl_cm, ib_cm)  # [6, e_total]
+            bsc = sys.bp - reduce_rows_f64_cmajor(
+                _pose_chunk_presum_cm(bsc_rows_cm, plan), plan.bsc_plan
+            ).T
+            rows = schur_pair_rows_packed(sys.Hpl, invHll, plan)
+        else:
+            bsc_rows = flat_mv_6x3(
+                jax.lax.optimization_barrier(sys.Hpl), _lm_slot_expand(y, plan)
+            )
+            bsc = sys.bp - reduce_rows_f64_packed(
+                _pose_chunk_presum(bsc_rows, plan), plan.bsc_plan
+            )
+            rows = schur_pair_rows_v2(sys.Hpl, invHll, plan)  # [n, 72] packed
         if plan.fix_rows is not None and plan.fix_rows.shape[0]:
             # pairs hitting a diagonal block via duplicate poses need the
             # transposed product added too (densify never mirrors the
@@ -777,6 +1100,14 @@ def schur_back_substitute(
     from .segments import reduce_rows, reduce_rows_f64_packed
 
     Pa = num_active_poses
+    if plan.layout is not None and getattr(plan.layout, "terms_kernel", False):
+        # packed-Hpl path: everything component-major (see schur_reduce)
+        xp_e_cm = _xp_expand_cm(xp, plan, Pa)
+        contrib_cm = _flat_mtv_6x3_cm(
+            _hpl_f64_cm(jax.lax.optimization_barrier(sys.Hpl)), xp_e_cm
+        )
+        cl = sys.bl - _lm_slot_sum_cm(contrib_cm, plan, sys.bl.shape[0]).T
+        return flat_mv_3x3(invHll, cl)
     if plan.layout is not None and plan.chunk_pose is not None:
         # chunk members share their slot pose: gather xp once per chunk row
         # and broadcast over members (~Gc x fewer gathered rows)
@@ -800,7 +1131,10 @@ def schur_back_substitute(
         xp_e = jnp.concatenate(parts, axis=0)
     else:
         xp_e = xp[jnp.minimum(plan.ba_pose_idx, Pa - 1)]
-    contrib = flat_mtv_6x3(sys.Hpl, xp_e)
+    # barrier: same per-trial Hpl-emulation hoist as in schur_reduce (see the
+    # comment there) — without it the is-finite parts of this mul ride the
+    # inner damping loop as copied [E,1] invariants
+    contrib = flat_mtv_6x3(jax.lax.optimization_barrier(sys.Hpl), xp_e)
     if plan.layout is not None:
         cl = sys.bl - _lm_slot_sum(contrib, plan, sys.bl.shape[0])
     else:
@@ -1401,6 +1735,20 @@ class BlockSolver:
             and jax.default_backend() != "cpu"
             and not _os.environ.get("TBA_DISABLE_SCHUR_KERNEL")
         )
+        # fused linearisation kernel (pallas/terms.py): v1 scope is the
+        # non-robust f64 projective path with one camera per set —
+        # everything the BASELINE f64 configs run; robust/f32/per-edge-cam
+        # sets keep the (correct, slower) XLA terms path
+        terms_kernel = (
+            use_kernel
+            and len(self.packed) == 1
+            and self.metas[0].rk == 0
+            and self.metas[0].kind in ("mono", "stereo")
+            and self.packed[0].cam.shape[1] == 1
+            and self.packed[0].meas.dtype == jnp.float64
+            and self.packed[0].lm_slot is not None
+            and not _os.environ.get("TBA_DISABLE_TERMS_KERNEL")
+        )
 
         t0 = _time.perf_counter()
         if use_kernel:
@@ -1435,7 +1783,9 @@ class BlockSolver:
         pool = UploadPool()
         layout_fields = {}
         if lay is not None:
-            meta = lay.meta._replace(use_kernel=use_kernel)
+            meta = lay.meta._replace(
+                use_kernel=use_kernel, terms_kernel=terms_kernel
+            )
             pattern_keys = (
                 s.blk_row.astype(np.int64) * self.Pa + s.blk_col
             )  # sorted ascending by construction (symbolic.py:130-149)

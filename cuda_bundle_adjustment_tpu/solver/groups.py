@@ -58,6 +58,9 @@ class GroupLayoutMeta(NamedTuple):
     n_extras: int  # edges outside the class regions (single-free edges)
     n_out: int  # total flat kernel output rows
     use_kernel: bool = False  # run the Pallas pair-product kernel (TPU)
+    terms_kernel: bool = False  # run the fused linearisation kernel
+    # (pallas/terms.py); implies SystemBlocks.Hpl is the packed float-float
+    # component-major [36, e_total] f32 form — every consumer keys on this
 
 
 # GroupLayoutMeta rides inside the (traced) SchurPlan pytree, but every field

@@ -295,6 +295,47 @@ def reduce_rows_f64_packed(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
     return reduce_rows_ff(jnp.concatenate([hi, lo], axis=1), plan, X.dtype)
 
 
+def _reduce_rows_cm(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
+    """Component-major :func:`reduce_rows`: ``X [K, N]`` -> ``[K, M]`` with
+    the gather on the LANE axis (physically the same movement as the
+    row-major form — [N, K] row-major is stored K-minor on TPU anyway)."""
+    X_ext = jnp.concatenate([X, jnp.zeros((X.shape[0], 1), X.dtype)], axis=1)
+    parts = [X_ext[:, streams[0]].sum(axis=2) for streams in plan.payload_buckets]
+    cat = jnp.concatenate(parts, axis=1)
+    if plan.second is not None:
+        return _reduce_rows_cm(cat, plan.second)[:, plan.out_gather]
+    return cat[:, plan.out_gather]
+
+
+def reduce_rows_ff_cmajor(Xff: jnp.ndarray, plan: BucketPlan, dtype) -> jnp.ndarray:
+    """Component-major :func:`reduce_rows_ff`: ``Xff [2K, N]`` f32 packed
+    (hi rows 0:K | lo rows K:2K) -> ``[K, M]`` in ``dtype``.
+
+    The fused linearisation kernel (pallas/terms.py) emits its pose rows in
+    this layout, so the bucket reduce gathers straight from the kernel
+    output — no transpose, no re-split."""
+    K = Xff.shape[0] // 2
+    X_ext = jnp.concatenate([Xff, jnp.zeros((2 * K, 1), Xff.dtype)], axis=1)
+    parts = []
+    for streams in plan.payload_buckets:
+        g = X_ext[:, streams[0]]  # [2K, n_b, S], ONE gather
+        gd = g[:K].astype(dtype) + g[K:].astype(dtype)
+        parts.append(gd.sum(axis=2))
+    cat = jnp.concatenate(parts, axis=1)
+    if plan.second is not None:
+        return _reduce_rows_cm(cat, plan.second)[:, plan.out_gather]
+    return cat[:, plan.out_gather]
+
+
+def reduce_rows_f64_cmajor(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
+    """:func:`reduce_rows_f64_packed` for component-major ``[K, N]`` rows."""
+    if X.dtype != jnp.float64:
+        return _reduce_rows_cm(X, plan)
+    hi = X.astype(jnp.float32)
+    lo = (X - hi.astype(X.dtype)).astype(jnp.float32)
+    return reduce_rows_ff_cmajor(jnp.concatenate([hi, lo], axis=0), plan, X.dtype)
+
+
 def reduce_pair_products(
     A: jnp.ndarray, B: jnp.ndarray, plan: BucketPlan
 ) -> jnp.ndarray:

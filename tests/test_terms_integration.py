@@ -1,0 +1,142 @@
+"""Integration of the fused linearisation kernel path (interpret mode on CPU)
+against the XLA build_system + schur/back-substitution chain.
+
+Tolerances are f32-relative-to-term-magnitudes where in-kernel sums are
+involved (interpret mode loses double-float compensation to XLA:CPU excess
+precision — see tests/test_terms_kernel.py); hardware exactness is pinned by
+tools/tpu_parity.py (pytest -m tpu)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+import cuda_bundle_adjustment_tpu.pallas.terms as terms_mod  # noqa: E402
+import cuda_bundle_adjustment_tpu.solver.block_solver as bs  # noqa: E402
+from cuda_bundle_adjustment_tpu.io.arrays import (  # noqa: E402
+    optimizer_from_problem,
+)
+from cuda_bundle_adjustment_tpu.io.synthetic import (  # noqa: E402
+    make_ba_problem,
+    make_mixed_ba_problem,
+)
+
+
+@pytest.fixture
+def interp_terms(monkeypatch):
+    orig = terms_mod.terms_class_call
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(terms_mod, "terms_class_call", forced)
+
+
+def _kernel_plan(plan):
+    return plan._replace(
+        layout=plan.layout._replace(use_kernel=True, terms_kernel=True)
+    )
+
+
+def _problem(kind, seed=23):
+    if kind == "mixed":
+        return make_mixed_ba_problem(
+            num_poses=10, num_landmarks=70, mean_obs_per_landmark=3.0,
+            stereo_fraction=0.5, seed=seed,
+        )
+    # small on purpose: every (degree) class compiles its own interpret-mode
+    # kernel and the unrolled double-float bodies take ~10 s each to build
+    return make_ba_problem(
+        num_poses=10, num_landmarks=70, mean_obs_per_landmark=3.0,
+        kind=kind, seed=seed,
+    )
+
+
+@pytest.mark.parametrize("kind", ["mono", "stereo", "mixed"])
+def test_kernel_build_system_matches_xla(kind, interp_terms):
+    opt = optimizer_from_problem(_problem(kind))
+    solver = opt.solver
+    solver.build_structure()
+    plan = solver.plan
+    assert plan.layout is not None
+    graph, packed, metas = solver.graph, solver.packed, solver.metas
+
+    ref = bs.build_system(graph, packed, metas, solver.Pa, solver.La, plan)
+    got = bs.build_system(
+        graph, packed, metas, solver.Pa, solver.La, _kernel_plan(plan)
+    )
+
+    for name in ("Hpp", "bp", "Hll", "bl"):
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        scale = np.abs(a).max() or 1.0
+        np.testing.assert_allclose(
+            b, a, atol=2e-5 * scale, rtol=2e-5, err_msg=f"{name} [{kind}]"
+        )
+
+    # Hpl: packed ff component-major [36, e_total] vs row-major f64 [E, 18]
+    assert got.Hpl.shape == (36, ref.Hpl.shape[0])
+    hpl_cm = np.asarray(got.Hpl[:18], np.float64) + np.asarray(
+        got.Hpl[18:], np.float64
+    )
+    scale = np.abs(np.asarray(ref.Hpl)).max() or 1.0
+    np.testing.assert_allclose(
+        hpl_cm, np.asarray(ref.Hpl).T, atol=2e-6 * scale, rtol=2e-6,
+        err_msg=f"Hpl [{kind}]",
+    )
+
+
+def test_kernel_full_solve_matches_xla(interp_terms):
+    """schur_reduce + solve + back-substitution on the packed-Hpl path."""
+    opt = optimizer_from_problem(_problem("mixed", seed=31))
+    solver = opt.solver
+    solver.build_structure()
+    plan = solver.plan
+    graph, packed, metas = solver.graph, solver.packed, solver.metas
+    nnz = solver.schur.nnz_blocks
+    lam = jnp.asarray(1e-2, solver.dtype)
+
+    ref_sys = bs.build_system(graph, packed, metas, solver.Pa, solver.La, plan)
+    # the CPU plan has no kernel plans built; schur_reduce's kernel branch
+    # needs class_a/class_b (present: layout builds them) — use the XLA
+    # fallback reduce for the reference
+    ref_xp, ref_xl, ref_ok = bs.solve_schur(
+        ref_sys, lam, plan, solver.Pa, solver.La, nnz, mixed=False
+    )
+
+    import cuda_bundle_adjustment_tpu.pallas.pairprod as pp
+
+    orig_packed = pp.schur_pair_rows_packed
+
+    def interp_pp(Hpl36, invHll, plan_, interpret=True):
+        return orig_packed(Hpl36, invHll, plan_, interpret=True)
+
+    kplan = _kernel_plan(plan)
+    got_sys = bs.build_system(
+        graph, packed, metas, solver.Pa, solver.La, kplan
+    )
+    pp.schur_pair_rows_packed = interp_pp
+    try:
+        got_xp, got_xl, got_ok = bs.solve_schur(
+            got_sys, lam, kplan, solver.Pa, solver.La, nnz, mixed=False
+        )
+    finally:
+        pp.schur_pair_rows_packed = orig_packed
+
+    assert bool(ref_ok) and bool(got_ok)
+    # xl tolerance is looser: interpret-mode compensation loss (see module
+    # docstring) amplifies through inv(Hll) on weakly-observed landmarks
+    for name, a, b, tol in (
+        ("xp", ref_xp, got_xp, 5e-5),
+        ("xl", ref_xl, got_xl, 1e-3),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() or 1.0
+        np.testing.assert_allclose(
+            b, a, atol=tol * scale, rtol=0, err_msg=name
+        )

@@ -133,10 +133,12 @@ def test_terms_kernel_matches_oracle(d, gc, mdim, with_mask):
     want_pose = want_pose_rows.reshape(42, d, gc, nc_pad).sum(axis=2)
     want_lm = want_lm_rows.reshape(12, d, gc, nc_pad).sum(axis=1)
 
-    cam = np.zeros((2, 128), np.float32)
     camv = np.array([FX, FY, CX, CY, BF])
-    cam[0, :5] = camv.astype(np.float32)
-    cam[1, :5] = (camv - cam[0, :5].astype(np.float64)).astype(np.float32)
+    hi = camv.astype(np.float32)
+    lo = (camv - hi.astype(np.float64)).astype(np.float32)
+    cam = np.broadcast_to(
+        np.concatenate([hi, lo])[:, None], (10, 128)
+    ).astype(np.float32)
 
     def ffr(x, lead):
         h, l = split_ff(jnp.asarray(x))

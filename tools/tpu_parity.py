@@ -172,6 +172,47 @@ def _oracle_exactness() -> bool:
     return ok
 
 
+def _terms_kernel_parity() -> bool:
+    """build_system via the fused linearisation kernel (pallas/terms.py) vs
+    the XLA terms path, on identical real BA inputs, both on hardware.
+
+    Both paths are ~49-bit float-float; agreement at ~1e-11 relative (vs the
+    ~1e-7 an uncompensated f32 kernel would show) is the hardware proof that
+    the kernel's Dekker/two-sum chains survive Mosaic lowering."""
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_mixed_ba_problem
+    from cuda_bundle_adjustment_tpu.solver import block_solver as bs
+
+    problem = make_mixed_ba_problem(
+        num_poses=24, num_landmarks=220, mean_obs_per_landmark=5.0, seed=13,
+    )
+    opt = optimizer_from_problem(problem)
+    s = opt.solver
+    s.build_structure()
+    plan = s.plan
+    assert plan.layout is not None and plan.layout.terms_kernel, (
+        "terms kernel should engage on TPU for the mixed f64 config"
+    )
+    sys_k = bs.build_system(s.graph, s.packed, s.metas, s.Pa, s.La, plan)
+    plan_x = plan._replace(layout=plan.layout._replace(terms_kernel=False))
+    sys_x = bs.build_system(s.graph, s.packed, s.metas, s.Pa, s.La, plan_x)
+
+    ok = True
+    for name in ("Hpp", "bp", "Hll", "bl"):
+        a = np.asarray(getattr(sys_x, name), np.float64)
+        b = np.asarray(getattr(sys_k, name), np.float64)
+        rel = float(np.abs(b - a).max()) / (float(np.abs(a).max()) or 1.0)
+        print(f"  {name:4s}: max rel err = {rel:.3e}")
+        ok = ok and rel < 1e-9
+    hpl_k = np.asarray(sys_k.Hpl[:18], np.float64) + np.asarray(
+        sys_k.Hpl[18:], np.float64
+    )
+    a = np.asarray(sys_x.Hpl, np.float64).T
+    rel = float(np.abs(hpl_k - a).max()) / (float(np.abs(a).max()) or 1.0)
+    print(f"  Hpl : max rel err = {rel:.3e}")
+    return ok and rel < 1e-9
+
+
 def _aligned_rel_err(b_t, k_t, b_c, k_c, label):
     """Max relative error between block sets aligned on their keys."""
     pos = {int(k): i for i, k in enumerate(k_c)}
@@ -211,6 +252,11 @@ def main() -> int:
     print(f"  bsc:        max rel err = {e_bsc:.3e}")
     kernel_ok = kernel_ok and e_blocks < 1e-7 and e_bsc < 1e-7
     print("KERNEL PARITY:", "OK" if kernel_ok else "FAIL")
+
+    print("[2b] fused linearisation kernel vs XLA terms path on identical "
+          "inputs (both ~49-bit float-float)...")
+    terms_ok = _terms_kernel_parity()
+    kernel_ok = kernel_ok and terms_ok
 
     print("[3/4] backend arithmetic: TPU float-float vs CPU native f64 "
           "(informational; includes inv(Hll) conditioning)...")
