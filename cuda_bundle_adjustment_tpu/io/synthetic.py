@@ -71,6 +71,7 @@ def make_ba_problem(
     pose_noise: float = 0.002,
     num_fixed_poses: int = 1,
     seed: int = 0,
+    exact_obs_per_landmark: int | None = None,
 ) -> BAProblem:
     """Generate a forward-moving camera observing a point cloud.
 
@@ -107,9 +108,15 @@ def make_ba_problem(
     Xw_gt = t_gt[anchor] + local
 
     # observations: a contiguous pose window per landmark
-    n_obs = np.maximum(
-        1, rng.poisson(mean_obs_per_landmark, size=L)
-    ).astype(np.int64)
+    if exact_obs_per_landmark is not None:
+        # constant-degree variant: collapses the co-visibility layout to a
+        # single degree class — used by the interpret-mode kernel tests,
+        # where every class compiles its own (slow) interpret kernel
+        n_obs = np.full(L, exact_obs_per_landmark, dtype=np.int64)
+    else:
+        n_obs = np.maximum(
+            1, rng.poisson(mean_obs_per_landmark, size=L)
+        ).astype(np.int64)
     n_obs = np.minimum(n_obs, 12)
     start = np.maximum(0, anchor - rng.integers(0, 3, size=L))
     lm_idx = np.repeat(np.arange(L, dtype=np.int64), n_obs)

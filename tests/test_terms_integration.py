@@ -45,16 +45,18 @@ def _kernel_plan(plan):
 
 
 def _problem(kind, seed=23):
+    # small AND constant-degree on purpose: every (degree) class compiles its
+    # own interpret-mode kernel and the unrolled double-float bodies take
+    # ~10 s each to build; exact_obs_per_landmark collapses the layout to
+    # one or two classes (front-of-camera culling still drops a few edges)
     if kind == "mixed":
         return make_mixed_ba_problem(
             num_poses=10, num_landmarks=70, mean_obs_per_landmark=3.0,
-            stereo_fraction=0.5, seed=seed,
+            exact_obs_per_landmark=3, stereo_fraction=0.5, seed=seed,
         )
-    # small on purpose: every (degree) class compiles its own interpret-mode
-    # kernel and the unrolled double-float bodies take ~10 s each to build
     return make_ba_problem(
         num_poses=10, num_landmarks=70, mean_obs_per_landmark=3.0,
-        kind=kind, seed=seed,
+        exact_obs_per_landmark=3, kind=kind, seed=seed,
     )
 
 
@@ -92,8 +94,12 @@ def test_kernel_build_system_matches_xla(kind, interp_terms):
 
 
 def test_kernel_full_solve_matches_xla(interp_terms):
-    """schur_reduce + solve + back-substitution on the packed-Hpl path."""
-    opt = optimizer_from_problem(_problem("mixed", seed=31))
+    """schur_reduce + solve + back-substitution on the packed-Hpl path.
+
+    Uses the SAME problem (seed included) as the [mixed] build-system test:
+    identical class shapes let this test reuse every interpret-mode kernel
+    compile from the jit cache instead of re-tracing (~minutes each)."""
+    opt = optimizer_from_problem(_problem("mixed"))
     solver = opt.solver
     solver.build_structure()
     plan = solver.plan

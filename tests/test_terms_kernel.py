@@ -118,7 +118,10 @@ def _rand_inputs(rng, d, gc, nc_pad, mdim, with_mask):
 
 @pytest.mark.parametrize(
     "d,gc,mdim,with_mask",
-    [(1, 8, 3, False), (3, 2, 3, True), (2, 4, 2, False), (4, 1, 3, True)],
+    # three combos cover mdim 2/3, mask on/off, wide/narrow chunks and
+    # multi-slot rolls; the dropped (3,2,3,True) combo duplicated
+    # (4,1,3,True)'s coverage at ~60 s of interpret-mode compile
+    [(1, 8, 3, False), (2, 4, 2, False), (4, 1, 3, True)],
 )
 def test_terms_kernel_matches_oracle(d, gc, mdim, with_mask):
     rng = np.random.default_rng(100 + d * 10 + gc)
