@@ -9,7 +9,10 @@ import sys
 
 def build() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "symbolic.cpp")
+    srcs = [
+        os.path.join(here, "symbolic.cpp"),
+        os.path.join(here, "layout.cpp"),
+    ]
     out = os.path.join(here, "libtba_symbolic.so")
     cmd = [
         "g++",
@@ -18,7 +21,7 @@ def build() -> str:
         "-shared",
         "-fPIC",
         "-std=c++17",
-        src,
+        *srcs,
         "-o",
         out,
     ]

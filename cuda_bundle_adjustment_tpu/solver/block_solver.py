@@ -132,6 +132,25 @@ def _pack_device(meas, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype
     )
 
 
+@functools.partial(jax.jit, static_argnames=("Pa", "La", "dtype"))
+def _pack_device_cm(measT, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, dtype):
+    """:func:`_pack_device` for the native-pack path: ``measT`` arrives
+    already component-major from C++ (native/layout.cpp), so only the dtype
+    casts and index-derived masks remain on device."""
+    pose_idx = pose_idx.astype(jnp.int32)
+    both_free = ((pose_idx < Pa) & (lm_idx < La)).astype(dtype)
+    active = active_i8.astype(dtype)
+    mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
+    return (
+        measT.astype(dtype),
+        cam.astype(dtype).T,
+        pose_idx,
+        both_free,
+        active,
+        mask3,
+    )
+
+
 def _ids_to_indices(sets, ids):
     """Vectorised vertex-id -> GLOBAL-index lookup across several vertex
     sets (``Vertex.index`` is globally assigned by BlockSolver.initialize's
@@ -1467,77 +1486,132 @@ class BlockSolver:
             if cam.shape[0] > 1 and np.all(cam == cam[0]):
                 cam = cam[:1]
 
+            native_pack = None
             if self.group_layout is not None:
                 lay = self.group_layout
                 perm = lay.edge_perm
-                dummy = perm < 0
-                src = np.where(dummy, 0, perm)
+                if isinstance(thr, np.ndarray) or cam.shape[0] > 1:
+                    pass  # per-edge thresholds/cameras keep the numpy path
+                else:
+                    # fused C++ pack (native/layout.cpp tba_pack_edges):
+                    # all the gathers + renumber + dummy fills below in ONE
+                    # pass, emitting component-major meas and the 1-byte /
+                    # int16 upload payloads directly
+                    from .native_layout import native_pack_edges
 
-                def _take(a, fill=0.0):
-                    out = a[src]  # fancy indexing already copies
-                    out[dummy] = fill
-                    return out
+                    lm_tbl = np.concatenate([
+                        lay.lm_renumber,
+                        self.La + np.arange(self.L - self.La, dtype=np.int64),
+                    ])
+                    native_pack = native_pack_edges(
+                        lay,
+                        meas,
+                        omega if omega.size > 1 else None,
+                        active,
+                        mask3,
+                        pose_idx,
+                        lm_idx,
+                        lm_tbl,
+                        self.Pa,
+                        M_out=meas.shape[1],
+                        use_int16=self.P + 1 < 2**15,
+                    )
+                if native_pack is not None:
+                    measT_h, omega_pk, active_i8, mask3_i8, pose_up, lm_i32 = (
+                        native_pack
+                    )
+                    if omega_pk is not None:
+                        omega = omega_pk
+                    pose_idx = pose_up.astype(np.int32, copy=False)
+                    lm_idx = lm_i32
+                    nedges_pk = int(active_i8.sum())
+                    E = perm.size
+                else:
+                    dummy = perm < 0
+                    src = np.where(dummy, 0, perm)
 
-                meas = _take(meas)
-                if omega.size > 1:
-                    omega = _take(omega)
-                if cam.shape[0] > 1:
-                    cam = _take(cam)
-                if mask3 is not None:
-                    mask3 = _take(mask3)
-                if isinstance(thr, np.ndarray):
-                    thr = _take(thr)
-                active = _take(active)
-                # dummy rows: pose sentinel Pa — NOTE the safety here comes
-                # from the active=0/both_free=0 masks zeroing every downstream
-                # contribution, NOT from the one-hot window (when P <= 8192
-                # the window covers the whole table, so index Pa reads the
-                # first FIXED pose's real state).  Landmark id = the slot's
-                # own position so landmark windows stay tight
-                pose_idx = _take(pose_idx).astype(np.int32, copy=False)
-                pose_idx[dummy] = self.Pa
-                new_lm = np.where(
-                    lm_idx < self.La_real,
-                    lay.lm_renumber[np.minimum(lm_idx, self.La_real - 1)],
-                    lm_idx.astype(np.int64) - self.La_real + self.La,
+                    def _take(a, fill=0.0):
+                        out = a[src]  # fancy indexing already copies
+                        out[dummy] = fill
+                        return out
+
+                    meas = _take(meas)
+                    if omega.size > 1:
+                        omega = _take(omega)
+                    if cam.shape[0] > 1:
+                        cam = _take(cam)
+                    if mask3 is not None:
+                        mask3 = _take(mask3)
+                    if isinstance(thr, np.ndarray):
+                        thr = _take(thr)
+                    active = _take(active)
+                    # dummy rows: pose sentinel Pa — NOTE the safety here
+                    # comes from the active=0/both_free=0 masks zeroing every
+                    # downstream contribution, NOT from the one-hot window
+                    # (when P <= 8192 the window covers the whole table, so
+                    # index Pa reads the first FIXED pose's real state).
+                    # Landmark id = the slot's own position so landmark
+                    # windows stay tight
+                    pose_idx = _take(pose_idx).astype(np.int32, copy=False)
+                    pose_idx[dummy] = self.Pa
+                    new_lm = np.where(
+                        lm_idx < self.La_real,
+                        lay.lm_renumber[np.minimum(lm_idx, self.La_real - 1)],
+                        lm_idx.astype(np.int64) - self.La_real + self.La,
+                    )
+                    lm_idx = new_lm[src].astype(np.int32)
+                    # dummy landmark index = the dummy slot's own position
+                    pos_in_class = np.full(perm.size, 0, dtype=np.int32)
+                    for cm in lay.meta.classes:
+                        S = cm.gc * cm.nc_pad
+                        span = cm.d * S
+                        sl = slice(cm.e_start, cm.e_start + span)
+                        pos_in_class[sl] = (
+                            cm.lm_start
+                            + (np.arange(span, dtype=np.int64) % S)
+                        ).astype(np.int32)
+                    lm_idx[dummy] = pos_in_class[dummy]
+                    E = perm.size
+
+            if native_pack is not None:
+                lm_idx_dev = jnp.asarray(lm_idx)
+                measT, camT, pose_idx_dev, both_free, active_dev, mask3_dev = (
+                    _pack_device_cm(
+                        jnp.asarray(measT_h),
+                        jnp.asarray(cam),
+                        jnp.asarray(pose_up),
+                        lm_idx_dev,
+                        jnp.asarray(active_i8),
+                        None if mask3_i8 is None else jnp.asarray(mask3_i8),
+                        self.Pa,
+                        self.La,
+                        dt,
+                    )
                 )
-                lm_idx = new_lm[src].astype(np.int32)
-                # dummy landmark index = the dummy slot's own position
-                pos_in_class = np.full(perm.size, 0, dtype=np.int32)
-                for cm in lay.meta.classes:
-                    S = cm.gc * cm.nc_pad
-                    span = cm.d * S
-                    sl = slice(cm.e_start, cm.e_start + span)
-                    pos_in_class[sl] = (
-                        cm.lm_start
-                        + (np.arange(span, dtype=np.int64) % S)
-                    ).astype(np.int32)
-                lm_idx[dummy] = pos_in_class[dummy]
-                E = perm.size
-
-            # upload diet + one packing dispatch (see _pack_device); pose
-            # indices ship as int16 when they fit (halves that upload)
-            pi_up = (
-                pose_idx.astype(np.int16)
-                if self.P + 1 < 2**15
-                else pose_idx
-            )
-            lm_idx_dev = jnp.asarray(lm_idx)
-            measT, camT, pose_idx_dev, both_free, active_dev, mask3_dev = (
-                _pack_device(
-                    jnp.asarray(meas),
-                    jnp.asarray(cam),
-                    jnp.asarray(pi_up),
-                    lm_idx_dev,
-                    jnp.asarray((active > 0).astype(np.int8)),
-                    None if mask3 is None else jnp.asarray(
-                        (mask3 > 0).astype(np.int8)
-                    ),
-                    self.Pa,
-                    self.La,
-                    dt,
+            else:
+                # upload diet + one packing dispatch (see _pack_device); pose
+                # indices ship as int16 when they fit (halves that upload)
+                pi_up = (
+                    pose_idx.astype(np.int16)
+                    if self.P + 1 < 2**15
+                    else pose_idx
                 )
-            )
+                lm_idx_dev = jnp.asarray(lm_idx)
+                measT, camT, pose_idx_dev, both_free, active_dev, mask3_dev = (
+                    _pack_device(
+                        jnp.asarray(meas),
+                        jnp.asarray(cam),
+                        jnp.asarray(pi_up),
+                        lm_idx_dev,
+                        jnp.asarray((active > 0).astype(np.int8)),
+                        None if mask3 is None else jnp.asarray(
+                            (mask3 > 0).astype(np.int8)
+                        ),
+                        self.Pa,
+                        self.La,
+                        dt,
+                    )
+                )
             data = PackedEdges(
                 meas=measT,
                 omega=jnp.asarray(omega, dt),
@@ -1554,7 +1628,11 @@ class BlockSolver:
                 delta=float(spec.get("delta", 1.0)),
                 has_landmark=model.HAS_LANDMARK,
                 mdim=model.MDIM,
-                nedges=int(np.sum(active > 0)) if active.size > 1 else E,
+                nedges=(
+                    nedges_pk
+                    if native_pack is not None
+                    else int(np.sum(active > 0)) if active.size > 1 else E
+                ),
             )
             packed.append(data)
             metas.append(meta)

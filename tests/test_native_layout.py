@@ -1,0 +1,137 @@
+"""Bit-parity of the native (C++) group-layout builder + edge packer against
+the numpy implementations they replace (solver/groups.py, the `_take` packing
+block in block_solver.initialize_from_arrays).
+
+The native path is the production path whenever libtba_symbolic.so is built;
+numpy is the fallback AND the oracle, so every emitted array must be
+BIT-identical — layout order feeds the deterministic reduction plans, and any
+divergence would silently change summation order (breaking the repo's
+bit-determinism invariant)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from cuda_bundle_adjustment_tpu.io.arrays import (  # noqa: E402
+    optimizer_from_problem,
+)
+from cuda_bundle_adjustment_tpu.io.synthetic import (  # noqa: E402
+    make_ba_problem,
+    make_mixed_ba_problem,
+)
+from cuda_bundle_adjustment_tpu.solver.groups import (  # noqa: E402
+    build_group_layout,
+)
+from cuda_bundle_adjustment_tpu.solver.native_layout import (  # noqa: E402
+    _load,
+    native_group_layout,
+)
+
+pytestmark = pytest.mark.skipif(
+    _load() is None, reason="native library not built"
+)
+
+ARRAYS = ("edge_perm", "lm_order", "lm_renumber", "out_key", "fix_rows",
+          "chunk_pose")
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_layout_bit_parity(seed):
+    p = make_ba_problem(
+        num_poses=40, num_landmarks=900, mean_obs_per_landmark=4.0,
+        kind="mono", seed=seed,
+    )
+    Pa, La = p.num_active_poses, p.num_active_landmarks
+    ref = build_group_layout(p.pose_idx, p.lm_idx, Pa, La, native=False)
+    got = native_group_layout(p.pose_idx, p.lm_idx, Pa, La)
+    assert got is not None
+    assert ref.meta == got.meta
+    for name in ARRAYS:
+        assert np.array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        ), name
+    for a, b in zip(ref.a_lut, got.a_lut):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref.b_lut, got.b_lut):
+        assert np.array_equal(a, b)
+
+
+def test_layout_duplicate_pose_edges():
+    """Duplicate (pose, lm) edges exercise the fix-row (diagonal) path."""
+    rng = np.random.default_rng(7)
+    p = make_ba_problem(
+        num_poses=12, num_landmarks=200, mean_obs_per_landmark=3.0,
+        kind="mono", seed=1,
+    )
+    # duplicate a sample of edges so some landmarks see a pose twice
+    dup = rng.choice(p.meas.shape[0], 40, replace=False)
+    pi = np.concatenate([p.pose_idx, p.pose_idx[dup]])
+    li = np.concatenate([p.lm_idx, p.lm_idx[dup]])
+    Pa, La = p.num_active_poses, p.num_active_landmarks
+    ref = build_group_layout(pi, li, Pa, La, native=False)
+    got = native_group_layout(pi, li, Pa, La)
+    assert ref.meta == got.meta
+    assert ref.fix_rows.size > 0  # the path actually engaged
+    for name in ARRAYS:
+        assert np.array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        ), name
+
+
+def _packed_arrays(problem, monkeypatch, force_numpy, **kwargs):
+    if force_numpy:
+        import cuda_bundle_adjustment_tpu.solver.block_solver as bs
+
+        monkeypatch.setattr(
+            bs, "_pack_device_cm", bs._pack_device_cm, raising=True
+        )
+        import cuda_bundle_adjustment_tpu.solver.native_layout as nl
+
+        monkeypatch.setattr(nl, "native_pack_edges", lambda *a, **k: None)
+    opt = optimizer_from_problem(problem, **kwargs)
+    out = []
+    for d in opt.solver.packed:
+        out.append({
+            "meas": np.asarray(d.meas),
+            "omega": np.asarray(d.omega),
+            "cam": np.asarray(d.cam),
+            "pose_idx": np.asarray(d.pose_idx),
+            "lm_idx": np.asarray(d.lm_idx),
+            "both_free": np.asarray(d.both_free),
+            "active": np.asarray(d.active),
+            "mask3": None if d.mask3 is None else np.asarray(d.mask3),
+        })
+    return out, [m.nedges for m in opt.solver.metas]
+
+
+@pytest.mark.parametrize("kind", ["mono", "stereo", "mixed", "omega"])
+def test_pack_bit_parity(kind, monkeypatch):
+    if kind == "mixed":
+        problem = make_mixed_ba_problem(
+            num_poses=25, num_landmarks=500, mean_obs_per_landmark=3.5,
+            stereo_fraction=0.4, seed=2,
+        )
+    else:
+        problem = make_ba_problem(
+            num_poses=25, num_landmarks=500, mean_obs_per_landmark=3.5,
+            kind="stereo" if kind == "stereo" else "mono", seed=2,
+        )
+    if kind == "omega":  # per-edge information exercises the omega gather
+        problem = problem._replace(
+            omega=np.linspace(0.5, 2.0, problem.meas.shape[0])
+        )
+    ref, ref_ne = _packed_arrays(problem, monkeypatch, force_numpy=True)
+    monkeypatch.undo()
+    got, got_ne = _packed_arrays(problem, monkeypatch, force_numpy=False)
+    assert ref_ne == got_ne
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        for k in r:
+            if r[k] is None:
+                assert g[k] is None, k
+                continue
+            assert np.array_equal(r[k], g[k]), k
