@@ -544,4 +544,45 @@ void tba_pack_edges(
     }
 }
 
+// ---------------------------------------------------------------------------
+// O(E) pose-bandwidth bound (solver/ordering.py plan_pose_order's cheap
+// pre-check): bw = max over landmarks of (max observing pose - min observing
+// pose) among both-free edges.  One sequential pass.
+int64_t tba_pose_band_bound(
+    const int64_t* pose_idx, const int64_t* lm_idx, int64_t E,
+    int64_t Pa, int64_t La,
+    int64_t* pmin /* scratch [La] */, int64_t* pmax /* scratch [La] */)
+{
+    for (int64_t l = 0; l < La; ++l)
+    {
+        pmin[l] = Pa;
+        pmax[l] = -1;
+    }
+    for (int64_t e = 0; e < E; ++e)
+    {
+        const int64_t p = pose_idx[e];
+        const int64_t l = lm_idx[e];
+        if (p < Pa && l < La)
+        {
+            if (p < pmin[l])
+            {
+                pmin[l] = p;
+            }
+            if (p > pmax[l])
+            {
+                pmax[l] = p;
+            }
+        }
+    }
+    int64_t bw = 0;
+    for (int64_t l = 0; l < La; ++l)
+    {
+        if (pmax[l] >= 0 && pmax[l] - pmin[l] > bw)
+        {
+            bw = pmax[l] - pmin[l];
+        }
+    }
+    return bw;
+}
+
 }  // extern "C"

