@@ -1829,27 +1829,49 @@ class BlockSolver:
         )
 
         t0 = _time.perf_counter()
+        kernel_out_ids = None  # rank of each real out_key row, from native
         if use_kernel:
             # the kernel path never reads the triple plan: derive the Hsc
             # pattern straight from the layout's group pair keys instead of
             # enumerating all ~1.7M multiply triples (saves ~250 ms host
             # time per structure)
-            diag_keys = np.arange(self.Pa, dtype=np.int64) * (self.Pa + 1)
-            keys = np.unique(
-                np.concatenate([lay.out_key[lay.out_key >= 0], diag_keys])
-            )
+            real = lay.out_key >= 0
+            real_keys = lay.out_key[real]
+            from .native_symbolic import native_index
+
+            nat = native_index(real_keys, self.Pa)
             z = np.zeros(0, dtype=np.int32)
-            self.schur = SchurStructure(
-                num_poses=self.Pa,
-                num_landmarks=self.La,
-                nnz_blocks=int(keys.size),
-                blk_row=(keys // self.Pa).astype(np.int32),
-                blk_col=(keys % self.Pa).astype(np.int32),
-                diag_pos=np.searchsorted(keys, diag_keys).astype(np.int32),
-                tri_ei=z, tri_ej=z, tri_k=z, tri_sorted=True,
-                rowptr=np.zeros(self.Pa + 1, dtype=np.int64),
-                nmul_blocks=int(lay.meta.n_out),
-            )
+            if nat is not None:
+                # counting pass over the dense Pa^2 key space (O(T + Pa^2))
+                # replaces np.unique + both searchsorted passes (~50 ms at
+                # KITTI-00 scale); tri_k doubles as the out_key -> block map
+                tri_k, blk_row, blk_col, diag_pos = nat
+                kernel_out_ids = (real, tri_k)
+                self.schur = SchurStructure(
+                    num_poses=self.Pa,
+                    num_landmarks=self.La,
+                    nnz_blocks=int(blk_row.size),
+                    blk_row=blk_row,
+                    blk_col=blk_col,
+                    diag_pos=diag_pos,
+                    tri_ei=z, tri_ej=z, tri_k=z, tri_sorted=True,
+                    rowptr=np.zeros(self.Pa + 1, dtype=np.int64),
+                    nmul_blocks=int(lay.meta.n_out),
+                )
+            else:
+                diag_keys = np.arange(self.Pa, dtype=np.int64) * (self.Pa + 1)
+                keys = np.unique(np.concatenate([real_keys, diag_keys]))
+                self.schur = SchurStructure(
+                    num_poses=self.Pa,
+                    num_landmarks=self.La,
+                    nnz_blocks=int(keys.size),
+                    blk_row=(keys // self.Pa).astype(np.int32),
+                    blk_col=(keys % self.Pa).astype(np.int32),
+                    diag_pos=np.searchsorted(keys, diag_keys).astype(np.int32),
+                    tri_ei=z, tri_ej=z, tri_k=z, tri_sorted=True,
+                    rowptr=np.zeros(self.Pa + 1, dtype=np.int64),
+                    nmul_blocks=int(lay.meta.n_out),
+                )
         else:
             self.schur = build_schur_structure(
                 ba_pose_idx, ba_lm_idx, self.Pa, self.La
@@ -1864,19 +1886,23 @@ class BlockSolver:
             meta = lay.meta._replace(
                 use_kernel=use_kernel, terms_kernel=terms_kernel
             )
-            pattern_keys = (
-                s.blk_row.astype(np.int64) * self.Pa + s.blk_col
-            )  # sorted ascending by construction (symbolic.py:130-149)
             ids = np.full(lay.meta.n_out + lay.fix_rows.size, s.nnz_blocks,
                           dtype=np.int64)
-            real = lay.out_key >= 0
-            ids[: lay.meta.n_out][real] = np.searchsorted(
-                pattern_keys, lay.out_key[real]
-            )
-            if lay.fix_rows.size:
-                ids[lay.meta.n_out :] = np.searchsorted(
-                    pattern_keys, lay.out_key[lay.fix_rows]
+            if kernel_out_ids is not None:
+                real, tri_k = kernel_out_ids
+                ids[: lay.meta.n_out][real] = tri_k
+            else:
+                pattern_keys = (
+                    s.blk_row.astype(np.int64) * self.Pa + s.blk_col
+                )  # sorted ascending by construction (symbolic.py:130-149)
+                real = lay.out_key >= 0
+                ids[: lay.meta.n_out][real] = np.searchsorted(
+                    pattern_keys, lay.out_key[real]
                 )
+            if lay.fix_rows.size:
+                # fix rows point at real out rows, whose ranks are already in
+                # ids[:n_out]
+                ids[lay.meta.n_out :] = ids[: lay.meta.n_out][lay.fix_rows]
             extra_lm = ba_lm_idx[lay.meta.e_classes :].astype(np.int64)
             layout_fields = dict(
                 layout=meta,

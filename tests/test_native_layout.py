@@ -108,6 +108,44 @@ def _packed_arrays(problem, monkeypatch, force_numpy, **kwargs):
     return out, [m.nedges for m in opt.solver.metas]
 
 
+def test_native_index_matches_unique_searchsorted():
+    """The use_kernel Hsc-pattern path (build_structure) swaps np.unique +
+    searchsorted for native_index's counting pass; the branch itself only
+    runs on TPU, so pin the equivalence here on a real layout's out_key."""
+    from cuda_bundle_adjustment_tpu.solver.native_symbolic import native_index
+
+    p = make_ba_problem(
+        num_poses=30, num_landmarks=600, mean_obs_per_landmark=4.0,
+        kind="mono", seed=5,
+    )
+    Pa, La = p.num_active_poses, p.num_active_landmarks
+    lay = build_group_layout(p.pose_idx, p.lm_idx, Pa, La)
+    real = lay.out_key >= 0
+    real_keys = lay.out_key[real]
+
+    diag_keys = np.arange(Pa, dtype=np.int64) * (Pa + 1)
+    keys = np.unique(np.concatenate([real_keys, diag_keys]))
+    want_row = (keys // Pa).astype(np.int32)
+    want_col = (keys % Pa).astype(np.int32)
+    want_diag = np.searchsorted(keys, diag_keys).astype(np.int32)
+    want_ids = np.searchsorted(keys, real_keys)
+
+    tri_k, blk_row, blk_col, diag_pos = native_index(real_keys, Pa)
+    assert np.array_equal(blk_row, want_row)
+    assert np.array_equal(blk_col, want_col)
+    assert np.array_equal(diag_pos, want_diag)
+    assert np.array_equal(tri_k, want_ids)
+    # fix-row ranks: ids[:n_out][fix_rows] must equal the old direct
+    # searchsorted on out_key[fix_rows]
+    if lay.fix_rows.size:
+        ids = np.full(lay.meta.n_out, keys.size, dtype=np.int64)
+        ids[real] = tri_k
+        assert np.array_equal(
+            ids[lay.fix_rows],
+            np.searchsorted(keys, lay.out_key[lay.fix_rows]),
+        )
+
+
 @pytest.mark.parametrize("kind", ["mono", "stereo", "mixed", "omega"])
 def test_pack_bit_parity(kind, monkeypatch):
     if kind == "mixed":
