@@ -167,11 +167,13 @@ def shard_problem(problem, num_shards: int, outlier_threshold: float = 0.0) -> S
     lml = np.zeros(D * Es, dtype=np.int32)
     active = np.zeros(D * Es)
 
+    cam_arr = np.asarray(problem.cam).reshape(-1, 5)
     cam_full = (
-        problem.cam if problem.cam.ndim == 2 else np.broadcast_to(problem.cam, (E, 5))
+        cam_arr if cam_arr.shape[0] == E else np.broadcast_to(cam_arr, (E, 5))
     )
+    omega_full = np.broadcast_to(np.asarray(problem.omega).reshape(-1), (E,))
     meas[slot] = problem.meas[order]
-    omega[slot] = problem.omega[order]
+    omega[slot] = omega_full[order]
     cam[slot] = cam_full[order]
     pose_idx[slot] = problem.pose_idx[order]
     lml[slot] = lm_local[problem.lm_idx[order]]

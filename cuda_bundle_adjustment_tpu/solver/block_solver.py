@@ -209,9 +209,9 @@ def _merge_ba_specs(edge_specs):
         else:
             mask_p.append(np.ones(E))
         meas_p.append(meas)
-        omega_p.append(np.broadcast_to(np.asarray(s["omega"], np.float64), (E,)))
+        omega_p.append(np.asarray(s["omega"], np.float64).reshape(-1))
         cam = np.asarray(s.get("cam", np.zeros(5)), dtype=np.float64)
-        cam_p.append(np.broadcast_to(cam.reshape(-1, 5), (E, 5)))
+        cam_p.append(cam.reshape(-1, 5))
         pi_p.append(np.asarray(s["pose_idx"]))
         li_p.append(np.asarray(s["lm_idx"]))
         act = s.get("active")
@@ -220,18 +220,38 @@ def _merge_ba_specs(edge_specs):
         )
         t = s.get("outlier_threshold", 0.0)
         thr.append((np.asarray(t, dtype=np.float64), E))
+    # keep uniform omega/camera COLLAPSED (single row) instead of
+    # materialising + re-detecting E-sized broadcasts (the camera
+    # broadcast alone is ~22 MB of host traffic at KITTI-00 scale)
+    sizes = tuple(E for _, E in thr)
+    if all(o.size == 1 for o in omega_p) and all(
+        np.array_equal(o, omega_p[0]) for o in omega_p[1:]
+    ):
+        omega = omega_p[0]
+    else:
+        omega = np.concatenate([
+            np.broadcast_to(o, (E,)) for o, E in zip(omega_p, sizes)
+        ])
+    if all(c.shape[0] == 1 for c in cam_p) and all(
+        np.array_equal(c, cam_p[0]) for c in cam_p[1:]
+    ):
+        cam_m = cam_p[0]
+    else:
+        cam_m = np.concatenate([
+            np.broadcast_to(c, (E, 5)) for c, E in zip(cam_p, sizes)
+        ])
     merged = dict(
         kind="stereo",
         meas=np.concatenate(meas_p, axis=0),
         pose_idx=np.concatenate(pi_p),
         lm_idx=np.concatenate(li_p),
-        omega=np.concatenate(omega_p),
-        cam=np.concatenate(cam_p, axis=0),
+        omega=omega,
+        cam=cam_m,
         rk=edge_specs[0].get("rk", 0),
         delta=edge_specs[0].get("delta", 1.0),
         mask3=np.concatenate(mask_p),
         active=np.concatenate(act_p),
-        merged_sizes=tuple(E for _, E in thr),  # un-merge map for write-backs
+        merged_sizes=sizes,  # un-merge map for write-backs
     )
     if any(np.any(t > 0) for t, _ in thr):
         merged["outlier_threshold"] = np.concatenate(
