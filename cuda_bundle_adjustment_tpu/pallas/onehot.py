@@ -83,26 +83,34 @@ def build_expand_plan(
     padded[:E] = idx
     by_chunk = padded.reshape(nch, chunk)
 
+    # per-chunk windows: the kernel's MXU work is proportional to the window
+    # width, so ALWAYS measure the true per-chunk index span — grouped edge
+    # orders (co-visibility layout, near-sorted landmark accesses) have strong
+    # locality and a measured window several times narrower than the full
+    # table (pose expand at KITTI-00 scale: 1408 full-table vs ~384 measured,
+    # ~3x less one-hot matmul work per iteration)
     starts = np.zeros(nch, dtype=np.int64)
     span = 128
-    if M <= max_window:
-        window = _ceil_to(max(M, 128), 128)  # full table fits: one window
-        # (single-window kernels run one [W, C] tile; no 1024-rounding —
-        # rounding 1408 up to 2048 wasted 45% of the MXU work)
-    else:
-        for g in range(nch):
-            valid = by_chunk[g][by_chunk[g] < M]
-            if valid.size == 0:
-                continue
-            lo, hi = int(valid.min()), int(valid.max())
-            starts[g] = (lo // 128) * 128  # DMA starts must be lane-aligned
-            span = max(span, hi - starts[g] + 1)
-        window = _ceil_to(span, 128)
-        if window > 1024:
-            window = _ceil_to(window, 1024)  # W-tiling granularity
-        if window > max_window:
-            return None
-        starts = np.minimum(starts, max(M - 1, 0))
+    masked = np.where(by_chunk < M, by_chunk, -1)
+    hi_c = masked.max(axis=1)  # -1 for all-sentinel chunks
+    masked_lo = np.where(masked >= 0, masked, np.int64(M))
+    lo_c = masked_lo.min(axis=1)
+    live = hi_c >= 0
+    starts[live] = (lo_c[live] // 128) * 128  # DMA starts must be lane-aligned
+    if np.any(live):
+        span = max(span, int(np.max(hi_c[live] - starts[live])) + 1)
+    window = _ceil_to(span, 128)
+    if window > 1024:
+        window = _ceil_to(window, 1024)  # W-tiling granularity
+    full = _ceil_to(max(M, 128), 128)  # full-table single window
+    # (single-window kernels run one [W, C] tile; no 1024-rounding —
+    # rounding 1408 up to 2048 wasted 45% of the MXU work)
+    if full <= window:  # no locality advantage: one shared window
+        window = full
+        starts[:] = 0
+    if window > max_window:
+        return None
+    starts = np.minimum(starts, max(M - 1, 0))
 
     if device_idx is not None and device_idx.shape[0] >= E:
         di = jax.lax.slice_in_dim(device_idx, 0, E, axis=0).astype(jnp.int32)
@@ -250,24 +258,34 @@ def expand(
     # ``hi = f32(x)`` would not be the exactly-rounded value and the 3-way
     # decomposition would no longer reconstruct x bit-for-bit
     table = jax.lax.optimization_barrier(table)
-    K8 = _ceil_to(K, 8)
     tT = jnp.swapaxes(table, 0, 1)  # [K, M]
-    tT = jnp.pad(tT, ((0, K8 - K), (0, 0)))
+    # split count: on TPU an f64 value IS a (hi, lo) f32 pair (~49-bit
+    # mantissa), so hi = f32(x) and lo = x - hi reproduce it EXACTLY and the
+    # third summand is identically zero — two splits are bit-identical to
+    # the f64 gather there.  Real-f64 backends (CPU tests/oracles) keep the
+    # three-way 24+24+24 > 53-bit decomposition.
+    if table.dtype == jnp.float64:
+        nsplit = 2 if jax.default_backend() != "cpu" else 3
+    else:
+        nsplit = 1
     parts = []
     rem = tT
-    nsplit = 3 if table.dtype == jnp.float64 else 1
     for _ in range(nsplit):
         p = rem.astype(jnp.float32)
         parts.append(p)
         rem = rem - p.astype(table.dtype)
     # stack the splits as extra ROWS of one table: one DMA + one MXU dot per
     # tile instead of three, and 3x the MXU row utilisation (K is small) —
-    # each split's rows stay independent, so the selection remains exact
-    stacked = jnp.pad(jnp.concatenate(parts, axis=0), ((0, 0), (0, W)))
+    # each split's rows stay independent, so the selection remains exact.
+    # Parts are stacked UNPADDED (row padding only on the stacked total):
+    # at K=12 the old per-split pad-to-16 was 25% pure-zero MXU work
+    R = nsplit * K
+    stacked = jnp.concatenate(parts, axis=0)
+    stacked = jnp.pad(stacked, ((0, _ceil_to(R, 8) - R), (0, W)))
     outs = _expand_call(
         (stacked,), plan.starts, plan.idx, W, plan.chunk, interpret
     )
     out = outs[0][:K].astype(table.dtype)
     for p in range(1, nsplit):
-        out = out + outs[0][p * K8 : p * K8 + K].astype(table.dtype)
+        out = out + outs[0][p * K : (p + 1) * K].astype(table.dtype)
     return out[:, : plan.num_rows]

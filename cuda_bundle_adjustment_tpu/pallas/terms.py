@@ -159,68 +159,93 @@ def _roll_sum_df(x, shifts, n, axis=0):
     return P, E
 
 
+def _edge_residual_df(cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l,
+                      act_ref, m3_ref, mdim: int, has_m3: bool):
+    """Shared per-edge residual evaluation in double-float: camera loads,
+    ``Xc = R Xw + t``, masked reciprocal, and the (masked) residual rows.
+    Used by both the linearisation kernel and the chi kernel so the two
+    passes are the SAME expressions (reference: computeActiveErrors and
+    constructQuadraticForm share their error math,
+    cuda_block_solver.cu:1059-1110 / 1151-1220)."""
+
+    def dfc(k):  # camera constant k as a [1, 128] df pair: lane-
+        # broadcast ALREADY done on the host (Mosaic cannot lower a
+        # [1,1] -> [DG,128] two-axis broadcast; a [1,128] value only
+        # broadcasts along sublanes, which it can)
+        return (cam_ref[k : k + 1, :], cam_ref[5 + k : 5 + k + 1, :])
+
+    fx, fy, bf = dfc(0), dfc(1), dfc(4)
+    # cx/cy (dfc(2), dfc(3)) cancel out of e: e0 = fx*x*iz + cx - m0 and
+    # the caller pre-subtracts cx from m0 (exactly, in f64) -- NOT done:
+    # keep the full expression for parity with the XLA path.
+    cx, cy = dfc(2), dfc(3)
+
+    def ld(ref_h, ref_l, k):
+        return (ref_h[k], ref_l[k])
+
+    R = [ld(qt_h, qt_l, 3 + i) for i in range(9)]
+    t = [ld(qt_h, qt_l, i) for i in range(3)]
+    Xw = [ld(xw_h, xw_l, i) for i in range(3)]
+    m = [ld(ms_h, ms_l, i) for i in range(3)]
+    act = act_ref[:, :]
+    m3 = m3_ref[:, :] if has_m3 else None
+
+    # Xc = R Xw + t
+    Xc = []
+    for i in range(3):
+        P, E = None, None
+        for j in range(3):
+            p, e = _ps_mul(_presplit(R[3 * i + j]), _presplit(Xw[j]))
+            P, E = _acc(P, E, p, e)
+        Xc.append(_df_add(_quick_two_sum(P, E), t[i]))
+    Xx, Xy, z = Xc
+
+    # masked reciprocal: inert rows (act = 0) and degenerate z give an
+    # exact-zero inv_z, so every downstream value stays finite
+    safe = (jnp.abs(z[0]) > 1e-30).astype(jnp.float32) * act
+    zh_safe = jnp.where(jnp.abs(z[0]) > 1e-30, z[0], 1.0)
+    q0 = safe / zh_safe
+    zq = _df_mul(z, (q0, jnp.zeros_like(q0)))
+    err = _df_add((safe, jnp.zeros_like(q0)), _df_neg(zq))
+    corr = _df_mul((q0, jnp.zeros_like(q0)), err)
+    inv_z = _df_add((q0, jnp.zeros_like(q0)), corr)
+    inv_zz = _df_mul(inv_z, inv_z)
+
+    fx_iz = _df_mul(fx, inv_z)
+    fy_iz = _df_mul(fy, inv_z)
+
+    # residuals (stereo rows 0-1 == mono; components.py:60-67)
+    u = _df_add(_df_mul(fx_iz, Xx), cx)
+    e0 = _df_sub(u, m[0])
+    e1 = _df_sub(_df_add(_df_mul(fy_iz, Xy), cy), m[1])
+    e = [e0, e1]
+    if mdim == 3:
+        e2 = _df_sub(_df_sub(u, _df_mul(bf, inv_z)), m[2])
+        if has_m3:
+            e2 = _df_mul_f32(e2, m3)
+        e.append(e2)
+    return dict(
+        e=e, R=R, Xx=Xx, Xy=Xy, inv_z=inv_z, inv_zz=inv_zz,
+        fx=fx, fy=fy, bf=bf, fx_iz=fx_iz, fy_iz=fy_iz, act=act, m3=m3,
+    )
+
+
 def _make_terms_kernel(d: int, gc: int, mdim: int, has_m3: bool):
     DG = d * gc
 
     def kernel(cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l,
                act_ref, m3_ref, pose_h, pose_l, lm_h, lm_l, hpl_h, hpl_l):
-        def dfc(k):  # camera constant k as a [1, 128] df pair: lane-
-            # broadcast ALREADY done on the host (Mosaic cannot lower a
-            # [1,1] -> [DG,128] two-axis broadcast; a [1,128] value only
-            # broadcasts along sublanes, which it can)
-            return (cam_ref[k : k + 1, :], cam_ref[5 + k : 5 + k + 1, :])
-
-        fx, fy, bf = dfc(0), dfc(1), dfc(4)
-        # cx/cy (dfc(2), dfc(3)) cancel out of e: e0 = fx*x*iz + cx - m0 and
-        # the caller pre-subtracts cx from m0 (exactly, in f64) -- NOT done:
-        # keep the full expression for parity with the XLA path.
-        cx, cy = dfc(2), dfc(3)
-
-        def ld(ref_h, ref_l, k):
-            return (ref_h[k], ref_l[k])
-
-        R = [ld(qt_h, qt_l, 3 + i) for i in range(9)]
-        t = [ld(qt_h, qt_l, i) for i in range(3)]
-        Xw = [ld(xw_h, xw_l, i) for i in range(3)]
-        m = [ld(ms_h, ms_l, i) for i in range(3)]
+        env = _edge_residual_df(
+            cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, act_ref, m3_ref,
+            mdim, has_m3,
+        )
+        e = env["e"]
+        R, Xx, Xy = env["R"], env["Xx"], env["Xy"]
+        inv_z, inv_zz = env["inv_z"], env["inv_zz"]
+        fx, fy, bf = env["fx"], env["fy"], env["bf"]
+        fx_iz, fy_iz = env["fx_iz"], env["fy_iz"]
+        act, m3 = env["act"], env["m3"]
         w = (wa_h[0], wa_l[0])
-        act = act_ref[:, :]
-        m3 = m3_ref[:, :] if has_m3 else None
-
-        # Xc = R Xw + t
-        Xc = []
-        for i in range(3):
-            P, E = None, None
-            for j in range(3):
-                p, e = _ps_mul(_presplit(R[3 * i + j]), _presplit(Xw[j]))
-                P, E = _acc(P, E, p, e)
-            Xc.append(_df_add(_quick_two_sum(P, E), t[i]))
-        Xx, Xy, z = Xc
-
-        # masked reciprocal: inert rows (act = 0) and degenerate z give an
-        # exact-zero inv_z, so every downstream value stays finite
-        safe = (jnp.abs(z[0]) > 1e-30).astype(jnp.float32) * act
-        zh_safe = jnp.where(jnp.abs(z[0]) > 1e-30, z[0], 1.0)
-        q0 = safe / zh_safe
-        zq = _df_mul(z, (q0, jnp.zeros_like(q0)))
-        err = _df_add((safe, jnp.zeros_like(q0)), _df_neg(zq))
-        corr = _df_mul((q0, jnp.zeros_like(q0)), err)
-        inv_z = _df_add((q0, jnp.zeros_like(q0)), corr)
-        inv_zz = _df_mul(inv_z, inv_z)
-
-        fx_iz = _df_mul(fx, inv_z)
-        fy_iz = _df_mul(fy, inv_z)
-
-        # residuals (stereo rows 0-1 == mono; components.py:60-67)
-        u = _df_add(_df_mul(fx_iz, Xx), cx)
-        e0 = _df_sub(u, m[0])
-        e1 = _df_sub(_df_add(_df_mul(fy_iz, Xy), cy), m[1])
-        e = [e0, e1]
-        if mdim == 3:
-            e2 = _df_sub(_df_sub(u, _df_mul(bf, inv_z)), m[2])
-            if has_m3:
-                e2 = _df_mul_f32(e2, m3)
-            e.append(e2)
 
         # Jacobians (components.py:110-157, g2o sign convention)
         fxXx_izz = _df_mul(_df_mul(fx, Xx), inv_zz)
@@ -435,6 +460,94 @@ def terms_class_call(
     with jax.enable_x64(False):
         return pl.pallas_call(
             _make_terms_kernel(d, gc, mdim, has_m3),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cam, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act, m3)
+
+
+def _make_chi_kernel(d: int, gc: int, mdim: int, has_m3: bool):
+    def kernel(cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l,
+               act_ref, m3_ref, chi_h, chi_l):
+        env = _edge_residual_df(
+            cam_ref, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, act_ref, m3_ref,
+            mdim, has_m3,
+        )
+        # chi_e = w * sum_m e_m^2 with w = omega * active (inert rows have
+        # w = 0 and FINITE e, so the product is an exact zero) — the same
+        # expression as models/ba.py _chi_projective (reference error pass,
+        # cuda_block_solver.cu:1059-1110)
+        P, E = None, None
+        for v in env["e"]:
+            vs = _presplit(v)
+            p, er = _ps_mul(vs, vs)
+            P, E = _acc(P, E, p, er)
+        s = _quick_two_sum(P, E)
+        sh, sl = _split(s[0])
+        p, er = _ps_mul((s[0], s[1], sh, sl), _presplit((wa_h[0], wa_l[0])))
+        v = _quick_two_sum(p, er)
+        chi_h[:, :] = v[0]
+        chi_l[:, :] = v[1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "gc", "mdim", "has_m3", "interpret")
+)
+def chi_class_call(
+    cam, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act, m3,
+    d: int, gc: int, mdim: int, has_m3: bool, interpret: bool = False,
+):
+    """One class's fused chi pass (per-edge robustified-chi2 values, rk=0
+    scope): the double-float residual evaluation of :func:`terms_class_call`
+    with only ``w * ||e||^2`` written back — ``(chi_h, chi_l) [DG, nc_pad]``
+    f32 pairs, well-tiled for the downstream f64 sum.  Replaces the XLA chi
+    path's swarm of ``[1, E]``-shaped f64 elementwise ops (T(1,128) tiling,
+    1/8 sublane utilisation — ~4 ms/iteration at KITTI-00 scale in the
+    device trace)."""
+    DG = d * gc
+    nc_pad = act.shape[-1]
+    grid = (nc_pad // TILE_N,)
+
+    def cmap(g):
+        return (0, 0)
+
+    def m3d(g):
+        return (0, 0, g)
+
+    def m2d(g):
+        return (0, g)
+
+    in_specs = [
+        pl.BlockSpec((10, 128), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, DG, TILE_N), m3d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((DG, TILE_N), m2d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((DG, TILE_N), m2d, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((DG, TILE_N), m2d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((DG, TILE_N), m2d, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((DG, nc_pad), jnp.float32),
+        jax.ShapeDtypeStruct((DG, nc_pad), jnp.float32),
+    ]
+    if m3 is None:
+        m3 = act
+    _INTERPRET_OPAQUE[0] = bool(interpret)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _make_chi_kernel(d, gc, mdim, has_m3),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,

@@ -473,20 +473,12 @@ def _flat_mtv_6x3_cm(A18cm, v6cm):
     )
 
 
-def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
-    """build_system via the fused linearisation kernel (pallas/terms.py).
-
-    Emits the same SystemBlocks as the XLA path EXCEPT ``Hpl``, which stays
-    in the kernel's packed float-float component-major form ``[36, e_total]``
-    f32 (hi rows | lo rows) — the format the Schur pair-product kernel and
-    the (recombined-on-the-fly) trial products consume.  Gated by
-    ``plan.layout.terms_kernel`` so every consumer agrees on the layout."""
-    from ..pallas import terms as _terms
+def _terms_kernel_inputs(graph, data, meta, dtype, pose_state):
+    """Prologue shared by the linearisation- and chi-kernel paths
+    (pallas/terms.py): per-edge pose state, (hi, lo) f32 splits of
+    state/measurements/weights, and the lane-broadcast camera constants."""
     from ..pallas.terms import split_ff
-    from .segments import reduce_rows_ff_cmajor
 
-    lay = plan.layout
-    dtype = graph.q.dtype
     if pose_state is None:
         if data.pose_xp is not None:
             from ..models.ba import expand_pose_state
@@ -521,6 +513,126 @@ def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
         jnp.concatenate([cam_hi, cam_lo])[:, None], (10, 128)
     )
     mdim = 2 if meta.kind == "mono" else 3
+    return (qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act32, m3_32,
+            cam, mdim)
+
+
+def _terms_class_args(cm, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l,
+                      act32, m3_32):
+    """Slice one co-visibility class's kernel inputs out of the flat
+    edge-order arrays (slot-tiled landmark state, [lead, DG, nc_pad]
+    reshapes)."""
+    DG = cm.d * cm.gc
+    span = DG * cm.nc_pad
+    S = cm.gc * cm.nc_pad
+
+    def csl(x, lead):
+        return jax.lax.slice_in_dim(
+            x, cm.e_start, cm.e_start + span, axis=1
+        ).reshape(lead, DG, cm.nc_pad)
+
+    xw_c_h = jnp.tile(
+        jax.lax.slice_in_dim(
+            xw_h, cm.lm_start, cm.lm_start + S, axis=1
+        ).reshape(3, cm.gc, cm.nc_pad),
+        (1, cm.d, 1),
+    )
+    xw_c_l = jnp.tile(
+        jax.lax.slice_in_dim(
+            xw_l, cm.lm_start, cm.lm_start + S, axis=1
+        ).reshape(3, cm.gc, cm.nc_pad),
+        (1, cm.d, 1),
+    )
+    act_c = jax.lax.slice_in_dim(
+        act32, cm.e_start, cm.e_start + span, axis=0
+    ).reshape(DG, cm.nc_pad)
+    m3_c = (
+        None
+        if m3_32 is None
+        else jax.lax.slice_in_dim(
+            m3_32, cm.e_start, cm.e_start + span, axis=0
+        ).reshape(DG, cm.nc_pad)
+    )
+    return (
+        csl(qt_h, 12), csl(qt_l, 12),
+        xw_c_h, xw_c_l,
+        csl(ms_h, 3), csl(ms_l, 3),
+        wa_h[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
+        wa_l[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
+        act_c,
+        m3_c,
+    )
+
+
+def compute_chi_kernel(graph, data, meta, plan, pose_state=None):
+    """Total chi2 via the fused chi kernel (pallas/terms.py chi_class_call),
+    one call per co-visibility class + the XLA model on the extras tail.
+    Engaged under the SAME gate as the linearisation kernel
+    (``plan.layout.terms_kernel``: single non-robust f64 mono/stereo set,
+    one camera).  Summation order is fixed per compiled program (class
+    order, then row-major within class), so traces stay deterministic."""
+    from ..pallas import terms as _terms
+
+    lay = plan.layout
+    dtype = graph.q.dtype
+    (qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act32, m3_32,
+     cam, mdim) = _terms_kernel_inputs(graph, data, meta, dtype, pose_state)
+
+    total = jnp.zeros((), dtype)
+    for cm in lay.classes:
+        args = _terms_class_args(
+            cm, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act32, m3_32
+        )
+        ch, cl = _terms.chi_class_call(
+            cam, *args,
+            d=cm.d, gc=cm.gc, mdim=mdim, has_m3=m3_32 is not None,
+        )
+        total = total + jnp.sum(ch.astype(dtype) + cl.astype(dtype))
+
+    n_ex = lay.n_extras
+    if n_ex:
+        ex_sl = slice(lay.e_classes, lay.e_total)
+        ex_data = data._replace(
+            meas=data.meas[:, ex_sl],
+            omega=data.omega if data.omega.shape[0] == 1 else data.omega[ex_sl],
+            cam=data.cam,
+            pose_idx=data.pose_idx[ex_sl],
+            lm_idx=data.lm_idx[ex_sl],
+            both_free=data.both_free[ex_sl],
+            active=data.active[ex_sl],
+            pose_xp=None,
+            lm_xp=None,
+            lm_slot=None,
+            mask3=None if data.mask3 is None else data.mask3[ex_sl],
+        )
+        model = MODEL_REGISTRY[meta.kind]
+        # NO pose_state slice here: with pose_state set but lm_xp/lm_slot
+        # stripped, _edge_inputs would take the expand branch and crash on
+        # the missing landmark plan — the plain XLA-gather branch re-gathers
+        # the handful of extras rows instead (same as the build-side extras
+        # path above)
+        total = total + jnp.sum(
+            model.chi(graph, ex_data, meta.rk, meta.delta)
+        )
+    return total
+
+
+def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
+    """build_system via the fused linearisation kernel (pallas/terms.py).
+
+    Emits the same SystemBlocks as the XLA path EXCEPT ``Hpl``, which stays
+    in the kernel's packed float-float component-major form ``[36, e_total]``
+    f32 (hi rows | lo rows) — the format the Schur pair-product kernel and
+    the (recombined-on-the-fly) trial products consume.  Gated by
+    ``plan.layout.terms_kernel`` so every consumer agrees on the layout."""
+    from ..pallas import terms as _terms
+    from ..pallas.terms import split_ff
+    from .segments import reduce_rows_ff_cmajor
+
+    lay = plan.layout
+    dtype = graph.q.dtype
+    (qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act32, m3_32,
+     cam, mdim) = _terms_kernel_inputs(graph, data, meta, dtype, pose_state)
 
     pose_parts_h, pose_parts_l = [], []
     lm_parts_h, lm_parts_l = [], []
@@ -529,43 +641,11 @@ def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
         DG = cm.d * cm.gc
         span = DG * cm.nc_pad
         S = cm.gc * cm.nc_pad
-
-        def csl(x, lead):
-            return jax.lax.slice_in_dim(
-                x, cm.e_start, cm.e_start + span, axis=1
-            ).reshape(lead, DG, cm.nc_pad)
-
-        xw_c_h = jnp.tile(
-            jax.lax.slice_in_dim(
-                xw_h, cm.lm_start, cm.lm_start + S, axis=1
-            ).reshape(3, cm.gc, cm.nc_pad),
-            (1, cm.d, 1),
-        )
-        xw_c_l = jnp.tile(
-            jax.lax.slice_in_dim(
-                xw_l, cm.lm_start, cm.lm_start + S, axis=1
-            ).reshape(3, cm.gc, cm.nc_pad),
-            (1, cm.d, 1),
-        )
-        act_c = jax.lax.slice_in_dim(
-            act32, cm.e_start, cm.e_start + span, axis=0
-        ).reshape(DG, cm.nc_pad)
-        m3_c = (
-            None
-            if m3_32 is None
-            else jax.lax.slice_in_dim(
-                m3_32, cm.e_start, cm.e_start + span, axis=0
-            ).reshape(DG, cm.nc_pad)
+        args = _terms_class_args(
+            cm, qt_h, qt_l, xw_h, xw_l, ms_h, ms_l, wa_h, wa_l, act32, m3_32
         )
         ph, pl_, lh, ll, hh, hl = _terms.terms_class_call(
-            cam,
-            csl(qt_h, 12), csl(qt_l, 12),
-            xw_c_h, xw_c_l,
-            csl(ms_h, 3), csl(ms_l, 3),
-            wa_h[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
-            wa_l[cm.e_start : cm.e_start + span].reshape(1, DG, cm.nc_pad),
-            act_c,
-            m3_c,
+            cam, *args,
             d=cm.d, gc=cm.gc, mdim=mdim, has_m3=m3_32 is not None,
         )
         pose_parts_h.append(ph.reshape(42, cm.d * cm.nc_pad))
@@ -644,11 +724,23 @@ def compute_chi(
     packed: tuple[PackedEdges, ...],
     metas: tuple[EdgeSetMeta, ...],
     pose_state=None,
+    plan=None,
 ) -> jnp.ndarray:
     """Total chi2 over all edge sets (reference stage "2: Compute Error").
 
     ``pose_state``: precomputed per-edge pose state for the single-BA-set
-    case (the fused loop shares it with the next linearisation)."""
+    case (the fused loop shares it with the next linearisation).
+    ``plan``: when its layout carries the terms-kernel gate, the chi pass
+    runs as the fused Pallas chi kernel per co-visibility class."""
+    if (
+        plan is not None
+        and len(packed) == 1
+        and plan.layout is not None
+        and getattr(plan.layout, "terms_kernel", False)
+    ):
+        return compute_chi_kernel(
+            graph, packed[0], metas[0], plan, pose_state
+        )
     total = jnp.zeros((), dtype=graph.q.dtype)
     for data, meta in zip(packed, metas):
         model = MODEL_REGISTRY[meta.kind]
@@ -2271,7 +2363,7 @@ class BlockSolver:
 
 @functools.partial(jax.jit, static_argnames=("metas", "Pa", "La"))
 def _jit_head(graph, packed, plan, metas, Pa, La):
-    chi = compute_chi(graph, packed, metas)
+    chi = compute_chi(graph, packed, metas, plan=plan)
     sys = build_system(graph, packed, metas, Pa, La, plan)
     return chi, sys
 
@@ -2291,7 +2383,7 @@ def _jit_trial(graph, sys, lam, packed, plan, metas, Pa, La, nnz, do_schur, mixe
         xp, success = solve_pose_only(sys, lam)
         xl = None
     new_graph = apply_update(graph, xp, xl, Pa, La)
-    Fhat = compute_chi(new_graph, packed, metas)
+    Fhat = compute_chi(new_graph, packed, metas, plan=plan)
     scale = compute_scale(xp, xl, sys, lam)
     return new_graph, Fhat, scale, success
 

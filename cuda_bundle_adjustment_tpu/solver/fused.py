@@ -95,7 +95,7 @@ def optimize_fused(
             xl = None
         new_graph = apply_update(graph, xp, xl, Pa, La)
         new_state = pose_state_of(new_graph)
-        Fhat = compute_chi(new_graph, packed, metas, new_state)
+        Fhat = compute_chi(new_graph, packed, metas, new_state, plan)
         scale = compute_scale(xp, xl, sys, lam)
         return new_graph, new_state, Fhat, scale, success
 
@@ -193,7 +193,7 @@ def optimize_fused(
     carry = (
         graph,
         state0,
-        compute_chi(graph, packed, metas, state0),
+        compute_chi(graph, packed, metas, state0, plan),
         jnp.asarray(0.0, dtype),
         jnp.asarray(2.0, dtype),
         jnp.asarray(False),

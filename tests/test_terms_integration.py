@@ -60,6 +60,39 @@ def _problem(kind, seed=23):
     )
 
 
+@pytest.fixture
+def interp_chi(monkeypatch):
+    orig = terms_mod.chi_class_call
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(terms_mod, "chi_class_call", forced)
+
+
+@pytest.mark.parametrize("kind", ["mono", "mixed"])
+def test_chi_kernel_matches_xla(kind, interp_chi):
+    """compute_chi via the fused chi kernel == the XLA model chi.
+
+    Same problems (and so the same class shapes) as the build-system tests
+    so interpret-mode compiles share the jit cache.  Tolerance is
+    f32-relative (interpret mode loses double-float compensation, module
+    docstring)."""
+    opt = optimizer_from_problem(_problem(kind))
+    solver = opt.solver
+    solver.build_structure()
+    plan = solver.plan
+    assert plan.layout is not None
+    graph, packed, metas = solver.graph, solver.packed, solver.metas
+
+    ref = float(bs.compute_chi(graph, packed, metas))
+    got = float(
+        bs.compute_chi(graph, packed, metas, plan=_kernel_plan(plan))
+    )
+    assert got == pytest.approx(ref, rel=2e-6)
+
+
 @pytest.mark.parametrize("kind", ["mono", "stereo", "mixed"])
 def test_kernel_build_system_matches_xla(kind, interp_terms):
     opt = optimizer_from_problem(_problem(kind))
