@@ -151,6 +151,63 @@ def _pack_device_cm(measT, cam, pose_idx, lm_idx, active_i8, mask3_i8, Pa, La, d
     )
 
 
+@functools.partial(jax.jit, static_argnames=("classes", "Pa", "La", "dtype"))
+def _pack_device_cm_derived(
+    measT, cam, chunk_pose, ex_pose, ex_lm, active_i8, mask3_i8,
+    classes, Pa, La, dtype,
+):
+    """:func:`_pack_device_cm` with the CLASS-REGION indices DERIVED on
+    device instead of uploaded (-4.5 MB per KITTI-00-scale repeat over the
+    ~20-80 MB/s axon tunnel):
+
+    - ``lm_idx`` of class row ``(slot a, member g, chunk c)`` is by
+      construction its landmark's layout position ``lm_start + g*nc_pad + c``
+      — a broadcast iota (solver/groups.py layout invariant: free landmarks
+      are renumbered to their slot positions, and the dummy fill uses the
+      SAME formula);
+    - ``pose_idx`` is the class's ``chunk_pose[a*nc_pad + c]`` repeated over
+      the ``gc`` members, from the small ``[sum_d d*nc_pad]`` int32 table
+      (already Pa-sentineled for dummy chunks).  Ragged dummy MEMBERS (group
+      smaller than gc) get their chunk's real pose where the host pack wrote
+      the Pa sentinel — every consumer masks dummies by ``active = 0``
+      (types.py PackedEdges), never by the sentinel, so this is safe; only
+      the extras tail (``ex_pose``/``ex_lm``) still ships from the host.
+    """
+    pose_parts, lm_parts = [], []
+    cp_off = 0
+    for cm in classes:
+        S = cm.gc * cm.nc_pad
+        cp = jax.lax.slice_in_dim(
+            chunk_pose, cp_off, cp_off + cm.d * cm.nc_pad, axis=0
+        )
+        pose_parts.append(
+            jnp.broadcast_to(
+                cp.reshape(cm.d, 1, cm.nc_pad), (cm.d, cm.gc, cm.nc_pad)
+            ).reshape(-1)
+        )
+        lm_parts.append(
+            jnp.broadcast_to(
+                (cm.lm_start + jax.lax.iota(jnp.int32, S))[None, :],
+                (cm.d, S),
+            ).reshape(-1)
+        )
+        cp_off += cm.d * cm.nc_pad
+    pose_idx = jnp.concatenate(pose_parts + [ex_pose.astype(jnp.int32)])
+    lm_idx = jnp.concatenate(lm_parts + [ex_lm])
+    both_free = ((pose_idx < Pa) & (lm_idx < La)).astype(dtype)
+    active = active_i8.astype(dtype)
+    mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
+    return (
+        measT.astype(dtype),
+        cam.astype(dtype).T,
+        pose_idx,
+        lm_idx,
+        both_free,
+        active,
+        mask3,
+    )
+
+
 def _ids_to_indices(sets, ids):
     """Vectorised vertex-id -> GLOBAL-index lookup across several vertex
     sets (``Vertex.index`` is globally assigned by BlockSolver.initialize's
@@ -1686,19 +1743,29 @@ class BlockSolver:
                     E = perm.size
 
             if native_pack is not None:
-                lm_idx_dev = jnp.asarray(lm_idx)
-                measT, camT, pose_idx_dev, both_free, active_dev, mask3_dev = (
-                    _pack_device_cm(
-                        jnp.asarray(measT_h),
-                        jnp.asarray(cam),
-                        jnp.asarray(pose_up),
-                        lm_idx_dev,
-                        jnp.asarray(active_i8),
-                        None if mask3_i8 is None else jnp.asarray(mask3_i8),
-                        self.Pa,
-                        self.La,
-                        dt,
-                    )
+                lay_ = self.group_layout
+                n_cls = lay_.meta.e_classes
+                cp_i32 = np.where(
+                    lay_.chunk_pose < 0, self.Pa, lay_.chunk_pose
+                ).astype(np.int32)
+                ex_pose_up = (
+                    pose_up[n_cls:].astype(np.int16)
+                    if self.P + 1 < 2**15
+                    else pose_up[n_cls:].astype(np.int32)
+                )
+                (measT, camT, pose_idx_dev, lm_idx_dev, both_free,
+                 active_dev, mask3_dev) = _pack_device_cm_derived(
+                    jnp.asarray(measT_h),
+                    jnp.asarray(cam),
+                    jnp.asarray(cp_i32),
+                    jnp.asarray(ex_pose_up),
+                    jnp.asarray(lm_idx[n_cls:]),
+                    jnp.asarray(active_i8),
+                    None if mask3_i8 is None else jnp.asarray(mask3_i8),
+                    lay_.meta.classes,
+                    self.Pa,
+                    self.La,
+                    dt,
                 )
             else:
                 # upload diet + one packing dispatch (see _pack_device); pose
