@@ -414,98 +414,108 @@ def _pose_chunk_presum(X, plan):
     return jnp.concatenate(parts, axis=0)
 
 
-def _lm_slot_sum_cm(Xcm, plan, num_active_landmarks):
-    """Component-major :func:`_lm_slot_sum`: ``Xcm [K, E']`` -> ``[K, La]``."""
+def _hpl_class_ff(Hpl36, cm):
+    """One class's packed-Hpl halves as ``[18, DG, nc_pad]`` f32 blocks."""
+    DG = cm.d * cm.gc
+    span = DG * cm.nc_pad
+
+    def part(rows):
+        return jax.lax.slice_in_dim(
+            rows, cm.e_start, cm.e_start + span, axis=1
+        ).reshape(18, DG, cm.nc_pad)
+
+    return part(Hpl36[:18]), part(Hpl36[18:])
+
+
+def _bsc_rows_kernel_ff(Hpl36, y, plan):
+    """``Hpl @ y`` rows for the bsc reduce via the per-class Pallas product
+    (pallas/schurvec.py), member-presummed — returns the ff-packed
+    component-major ``[12, M (+extras)]`` rows ``reduce_rows_ff_cmajor``
+    consumes.  Extras keep the XLA f64 math on a sliced view."""
+    from ..pallas import schurvec
+    from ..pallas.terms import split_ff
+
     lay = plan.layout
-    K = Xcm.shape[0]
+    y_h, y_l = split_ff(y.T)  # [3, La]
+    parts_h, parts_l = [], []
+    for cm in lay.classes:
+        S = cm.gc * cm.nc_pad
+        hpl_h, hpl_l = _hpl_class_ff(Hpl36, cm)
+
+        def ytile(yy):
+            return jnp.tile(
+                jax.lax.slice_in_dim(
+                    yy, cm.lm_start, cm.lm_start + S, axis=1
+                ).reshape(3, cm.gc, cm.nc_pad),
+                (1, cm.d, 1),
+            )
+
+        oh, ol = schurvec.hpl_mv_class_call(
+            hpl_h, hpl_l, ytile(y_h), ytile(y_l), d=cm.d, gc=cm.gc
+        )
+        parts_h.append(oh.reshape(6, cm.d * cm.nc_pad))
+        parts_l.append(ol.reshape(6, cm.d * cm.nc_pad))
+    if lay.n_extras:
+        ex = jax.lax.slice_in_dim(Hpl36, lay.e_classes, lay.e_total, axis=1)
+        Hpl_ex = ex[:18].astype(y.dtype) + ex[18:].astype(y.dtype)
+        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], y.shape[0] - 1)
+        rows_ex = _flat_mv_6x3_cm(Hpl_ex, y.T[:, idx])  # [6, n_ex] f64
+        eh, el = split_ff(rows_ex)
+        parts_h.append(eh)
+        parts_l.append(el)
+    return jnp.concatenate(
+        [jnp.concatenate(parts_h, axis=1), jnp.concatenate(parts_l, axis=1)],
+        axis=0,
+    )
+
+
+def _backsub_lm_sum_kernel_ff(Hpl36, xp, plan, Pa, La, dtype):
+    """``Hpl^T @ xp`` summed per landmark via the per-class Pallas product
+    (pallas/schurvec.py) — returns ``[3, La]`` in ``dtype`` (slot sums of
+    the class regions + extras scatter-add)."""
+    from ..pallas import schurvec
+    from ..pallas.terms import split_ff
+
+    lay = plan.layout
+    xp_cT = xp[jnp.minimum(plan.chunk_pose, Pa - 1)].T  # [6, M] f64
+    xh, xl = split_ff(xp_cT)
     parts = []
     covered = 0
-    for cm in lay.classes:
-        S = cm.gc * cm.nc_pad
-        seg = jax.lax.slice_in_dim(
-            Xcm, cm.e_start, cm.e_start + cm.d * S, axis=1
-        )
-        parts.append(seg.reshape(K, cm.d, S).sum(axis=1))
-        covered += S
-    if covered < num_active_landmarks:
-        parts.append(
-            jnp.zeros((K, num_active_landmarks - covered), Xcm.dtype)
-        )
-    acc = (
-        jnp.concatenate(parts, axis=1)
-        if parts
-        else jnp.zeros((K, num_active_landmarks), Xcm.dtype)
-    )
-    if lay.n_extras:
-        ex = jax.lax.slice_in_dim(Xcm, lay.e_classes, lay.e_total, axis=1)
-        acc = acc + segment_sum(
-            ex.T, plan.lm_extra_pos, num_segments=num_active_landmarks
-        ).T
-    return acc
-
-
-def _lm_slot_expand_cm(tblT, plan):
-    """Component-major :func:`_lm_slot_expand`: ``tblT [K, La]`` -> ``[K, E']``."""
-    lay = plan.layout
-    parts = []
-    for cm in lay.classes:
-        S = cm.gc * cm.nc_pad
-        cls = jax.lax.slice_in_dim(tblT, cm.lm_start, cm.lm_start + S, axis=1)
-        parts.append(jnp.tile(cls, (1, cm.d)))
-    if lay.n_extras:
-        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], tblT.shape[1] - 1)
-        parts.append(tblT[:, idx])
-    return jnp.concatenate(parts, axis=1)
-
-
-def _pose_chunk_presum_cm(Xcm, plan):
-    """Component-major :func:`_pose_chunk_presum`: ``[K, E']`` -> ``[K, M]``."""
-    lay = plan.layout
-    K = Xcm.shape[0]
-    parts = []
-    for cm in lay.classes:
-        S = cm.gc * cm.nc_pad
-        seg = jax.lax.slice_in_dim(
-            Xcm, cm.e_start, cm.e_start + cm.d * S, axis=1
-        )
-        parts.append(
-            seg.reshape(K, cm.d, cm.gc, cm.nc_pad)
-            .sum(axis=2)
-            .reshape(K, cm.d * cm.nc_pad)
-        )
-    if lay.n_extras:
-        parts.append(
-            jax.lax.slice_in_dim(Xcm, lay.e_classes, lay.e_total, axis=1)
-        )
-    return jnp.concatenate(parts, axis=1)
-
-
-def _xp_expand_cm(xp, plan, Pa):
-    """Component-major per-edge xp expansion (see schur_back_substitute):
-    ``xp [Pa, 6]`` -> ``[6, E']`` in group-layout edge order."""
-    lay = plan.layout
-    xp_cT = xp[jnp.minimum(plan.chunk_pose, Pa - 1)].T  # [6, M]
-    parts = []
     off = 0
     for cm in lay.classes:
         rows = cm.d * cm.nc_pad
-        seg = jax.lax.slice_in_dim(xp_cT, off, off + rows, axis=1)
-        parts.append(
-            jnp.broadcast_to(
-                seg.reshape(6, cm.d, 1, cm.nc_pad),
+        S = cm.gc * cm.nc_pad
+        hpl_h, hpl_l = _hpl_class_ff(Hpl36, cm)
+
+        def xtile(xx):
+            return jnp.broadcast_to(
+                jax.lax.slice_in_dim(xx, off, off + rows, axis=1).reshape(
+                    6, cm.d, 1, cm.nc_pad
+                ),
                 (6, cm.d, cm.gc, cm.nc_pad),
-            ).reshape(6, cm.d * cm.gc * cm.nc_pad)
+            ).reshape(6, cm.d * cm.gc, cm.nc_pad)
+
+        oh, ol = schurvec.hpl_mtv_class_call(
+            hpl_h, hpl_l, xtile(xh), xtile(xl), d=cm.d, gc=cm.gc
         )
+        parts.append(oh.reshape(3, S).astype(dtype) + ol.reshape(3, S).astype(dtype))
+        covered += S
         off += rows
+    acc = jnp.concatenate(parts, axis=1)
+    if covered < La:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((3, La - covered), dtype)], axis=1
+        )
     if lay.n_extras:
+        ex = jax.lax.slice_in_dim(Hpl36, lay.e_classes, lay.e_total, axis=1)
+        Hpl_ex = ex[:18].astype(dtype) + ex[18:].astype(dtype)
         idx = plan.ba_pose_idx[lay.e_classes :]
-        parts.append(xp.T[:, jnp.minimum(idx, Pa - 1)])
-    return jnp.concatenate(parts, axis=1)
-
-
-def _hpl_f64_cm(Hpl36):
-    """Recombine the packed float-float Hpl ``[36, E]`` f32 to f64 ``[18, E]``."""
-    return Hpl36[:18].astype(jnp.float64) + Hpl36[18:].astype(jnp.float64)
+        xp_ex = xp.T[:, jnp.minimum(idx, Pa - 1)]
+        contrib_ex = _flat_mtv_6x3_cm(Hpl_ex, xp_ex)  # [3, n_ex]
+        acc = acc + segment_sum(
+            contrib_ex.T, plan.lm_extra_pos, num_segments=La
+        ).T
+    return acc
 
 
 def _flat_mv_6x3_cm(A18cm, v3cm):
@@ -1211,7 +1221,6 @@ def schur_reduce(
     if plan.layout is not None and plan.layout.use_kernel:
         from ..ops.components import flat_mv_3x3
         from ..pallas.pairprod import schur_pair_rows_packed, schur_pair_rows_v2
-        from .segments import reduce_rows_f64_cmajor
 
         y = flat_mv_3x3(invHll, sys.bl)  # [La,3] per-landmark inv(Hll) bl
         # optimization_barrier (both branches): this f64 product is the only
@@ -1226,12 +1235,14 @@ def schur_reduce(
         # un-barriered: that hoist is the good kind.)
         if getattr(plan.layout, "terms_kernel", False):
             # Hpl arrives ff-packed component-major from pallas/terms.py;
-            # recombine on the fly for the f64 product (fuses into the mul)
-            Hpl_cm = _hpl_f64_cm(jax.lax.optimization_barrier(sys.Hpl))
-            ib_cm = _lm_slot_expand_cm(y.T, plan)
-            bsc_rows_cm = _flat_mv_6x3_cm(Hpl_cm, ib_cm)  # [6, e_total]
-            bsc = sys.bp - reduce_rows_f64_cmajor(
-                _pose_chunk_presum_cm(bsc_rows_cm, plan), plan.bsc_plan
+            # the per-edge product runs as the Pallas class kernel on the
+            # (hi, lo) halves (pallas/schurvec.py) — the former XLA f64
+            # form was a [1, E]-tiled emulation swarm, ~2 ms/iteration
+            from .segments import reduce_rows_ff_cmajor
+
+            rows12 = _bsc_rows_kernel_ff(sys.Hpl, y, plan)
+            bsc = sys.bp - reduce_rows_ff_cmajor(
+                rows12, plan.bsc_plan, dtype
             ).T
             rows = schur_pair_rows_packed(sys.Hpl, invHll, plan)
         else:
@@ -1289,12 +1300,13 @@ def schur_back_substitute(
 
     Pa = num_active_poses
     if plan.layout is not None and getattr(plan.layout, "terms_kernel", False):
-        # packed-Hpl path: everything component-major (see schur_reduce)
-        xp_e_cm = _xp_expand_cm(xp, plan, Pa)
-        contrib_cm = _flat_mtv_6x3_cm(
-            _hpl_f64_cm(jax.lax.optimization_barrier(sys.Hpl)), xp_e_cm
+        # packed-Hpl path: the per-edge Hpl^T xp product runs as the Pallas
+        # class kernel on the (hi, lo) halves (pallas/schurvec.py), already
+        # slot-summed per landmark
+        acc = _backsub_lm_sum_kernel_ff(
+            sys.Hpl, xp, plan, Pa, sys.bl.shape[0], sys.bl.dtype
         )
-        cl = sys.bl - _lm_slot_sum_cm(contrib_cm, plan, sys.bl.shape[0]).T
+        cl = sys.bl - acc.T
         return flat_mv_3x3(invHll, cl)
     if plan.layout is not None and plan.chunk_pose is not None:
         # chunk members share their slot pose: gather xp once per chunk row

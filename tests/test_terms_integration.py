@@ -149,8 +149,10 @@ def test_kernel_full_solve_matches_xla(interp_terms):
     )
 
     import cuda_bundle_adjustment_tpu.pallas.pairprod as pp
+    import cuda_bundle_adjustment_tpu.pallas.schurvec as sv
 
     orig_packed = pp.schur_pair_rows_packed
+    orig_mv, orig_mtv = sv.hpl_mv_class_call, sv.hpl_mtv_class_call
 
     def interp_pp(Hpl36, invHll, plan_, interpret=True):
         return orig_packed(Hpl36, invHll, plan_, interpret=True)
@@ -160,12 +162,20 @@ def test_kernel_full_solve_matches_xla(interp_terms):
         graph, packed, metas, solver.Pa, solver.La, kplan
     )
     pp.schur_pair_rows_packed = interp_pp
+    sv.hpl_mv_class_call = lambda *a, **k: orig_mv(
+        *a, **{**k, "interpret": True}
+    )
+    sv.hpl_mtv_class_call = lambda *a, **k: orig_mtv(
+        *a, **{**k, "interpret": True}
+    )
     try:
         got_xp, got_xl, got_ok = bs.solve_schur(
             got_sys, lam, kplan, solver.Pa, solver.La, nnz, mixed=False
         )
     finally:
         pp.schur_pair_rows_packed = orig_packed
+        sv.hpl_mv_class_call = orig_mv
+        sv.hpl_mtv_class_call = orig_mtv
 
     assert bool(ref_ok) and bool(got_ok)
     # xl tolerance is looser: interpret-mode compensation loss (see module
