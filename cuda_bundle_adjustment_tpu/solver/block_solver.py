@@ -1449,6 +1449,8 @@ class BlockSolver:
         self._obj_La = 0
         self._edge_sets: list[EdgeSet] = []
         self._host_idx: list[tuple[np.ndarray, np.ndarray]] = []
+        self._cp_host = None  # chunk-pose table (host/device): pose expand
+        self._cp_dev = None  # plans run over chunk rows, not edges
         self._spec_thresholds: list = []  # array path: per-spec outlier thr
         self._outlier_counts: list[int] = []
         self._merged_sizes: list = []  # per packed spec: pre-merge set sizes
@@ -1545,6 +1547,8 @@ class BlockSolver:
         self._lm_sets = []
         self._edge_sets = []
         self._host_idx = []
+        self._cp_host = None
+        self._cp_dev = None
         self._spec_thresholds = []
         self._outlier_counts = []
         self._merged_sizes = []
@@ -1765,11 +1769,15 @@ class BlockSolver:
                     if self.P + 1 < 2**15
                     else pose_up[n_cls:].astype(np.int32)
                 )
+                # the chunk-pose table is reused as the pose expand plan's
+                # device indices (_attach_expand_plans): keep host + device
+                self._cp_host = cp_i32
+                self._cp_dev = jnp.asarray(cp_i32)
                 (measT, camT, pose_idx_dev, lm_idx_dev, both_free,
                  active_dev, mask3_dev) = _pack_device_cm_derived(
                     jnp.asarray(measT_h),
                     jnp.asarray(cam),
-                    jnp.asarray(cp_i32),
+                    self._cp_dev,
                     jnp.asarray(ex_pose_up),
                     jnp.asarray(lm_idx[n_cls:]),
                     jnp.asarray(active_i8),
@@ -2206,9 +2214,19 @@ class BlockSolver:
         new_packed = []
         for data, (pi, li), meta in zip(self.packed, self._host_idx, self.metas):
             if meta.has_landmark and data.pose_xp is None:
-                pxp = build_expand_plan(
-                    pi[:cov], self.P, chunk=1024, device_idx=data.pose_idx
-                )
+                if self.group_layout is not None and self._cp_dev is not None:
+                    # chunk-level plan: one row per (class, slot, chunk);
+                    # every member shares that pose, so expand_pose_state
+                    # broadcasts the member axis for free (~Gc x less
+                    # one-hot work than a per-edge plan)
+                    pxp = build_expand_plan(
+                        self._cp_host, self.P, chunk=1024,
+                        device_idx=self._cp_dev,
+                    )
+                else:
+                    pxp = build_expand_plan(
+                        pi[:cov], self.P, chunk=1024, device_idx=data.pose_idx
+                    )
                 if self.group_layout is not None:
                     # landmark state comes from slot-tiled slices, not the
                     # one-hot kernel (models/ba.py:_edge_inputs)

@@ -48,3 +48,45 @@ def test_expand_no_locality_returns_none():
     rng = np.random.default_rng(3)
     idx = rng.integers(0, 1_000_000, 4096)
     assert build_expand_plan(idx, 1_000_000, chunk=1024, max_window=2048) is None
+
+
+def test_chunk_level_pose_expand_matches_edge_gather(monkeypatch):
+    """expand_pose_state with a CHUNK-LEVEL plan (one row per (class, slot,
+    chunk), solver chunk_pose) must equal the plain per-edge gather of the
+    derived pose indices on every LIVE row (dummy-chunk rows read the Pa
+    sentinel -> zeros vs clamped gather; they are masked by active = 0)."""
+    import jax.numpy as jnp
+
+    import cuda_bundle_adjustment_tpu.pallas.onehot as oh
+    from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_ba_problem
+    from cuda_bundle_adjustment_tpu.models.ba import (
+        _pose_state_table,
+        expand_pose_state,
+    )
+
+    problem = make_ba_problem(
+        num_poses=12, num_landmarks=120, mean_obs_per_landmark=3.0, seed=5
+    )
+    opt = optimizer_from_problem(problem)
+    solver = opt.solver
+    lay = solver.group_layout
+    assert lay is not None and solver._cp_host is not None
+    data = solver.packed[0]
+
+    orig_expand = oh.expand
+    monkeypatch.setattr(
+        oh, "expand", lambda t, p, interpret=False: orig_expand(t, p, True)
+    )
+    pxp = oh.build_expand_plan(solver._cp_host, solver.P, chunk=1024)
+    data = data._replace(pose_xp=pxp, lm_slot=lay.meta)
+    m_chunk = sum(cm.d * cm.nc_pad for cm in lay.meta.classes)
+    assert pxp.num_rows == m_chunk  # the chunk-branch detection fires
+
+    qt = expand_pose_state(solver.graph, data)
+    sT = _pose_state_table(solver.graph).T
+    want = sT[:, jnp.minimum(data.pose_idx, sT.shape[1] - 1)]
+    live = np.asarray(data.active) > 0
+    np.testing.assert_array_equal(
+        np.asarray(qt)[:, live], np.asarray(want)[:, live]
+    )
