@@ -456,7 +456,15 @@ int64_t tba_layout_emit(
 //   lm_out[r]        = renumbered landmark (dummy: the slot's own position,
 //                      = lm_start + (r - e_start) % slot_stride, from the
 //                      class table)
-void tba_pack_edges(
+//
+// meas_cols < e_total selects COMPACT measurement emission: rows with
+// active_out == 1 write their meas at consecutive columns of the
+// [M_out, meas_cols] buffer (inactive/dummy rows write nothing) — the
+// device side restores the padded layout with one monotone gather keyed on
+// active_out (solver/block_solver.py _pack_device_cm_derived), cutting the
+// measurement upload by the dummy fraction (~26% at KITTI-00 scale).
+// Returns the number of compact columns written (== meas_cols expected).
+int64_t tba_pack_edges(
     const int64_t* edge_perm, int64_t e_total,
     const double* meas, int64_t M_in, int64_t M_out,
     const double* omega, int64_t has_per_edge_omega,
@@ -467,7 +475,8 @@ void tba_pack_edges(
     int64_t Pa,
     int64_t n_classes, const int64_t* class_e_start,
     const int64_t* class_lm_start, const int64_t* class_slot_stride,
-    double* meas_out,          // [M_out, e_total] component-major
+    int64_t meas_cols,         // e_total (padded) or n_active (compact)
+    double* meas_out,          // [M_out, meas_cols] component-major
     double* omega_out,         // [e_total] (only if has_per_edge_omega)
     int8_t* active_out,        // [e_total]
     int8_t* mask3_out,         // [e_total] (only if has_mask3)
@@ -475,6 +484,8 @@ void tba_pack_edges(
     int32_t* pose_out32,       // [e_total] or null
     int32_t* lm_out)           // [e_total]
 {
+    const bool compact = meas_cols < e_total;
+    int64_t mpos = 0;
     // class lookup per row: walk the class table once (rows are class-major)
     int64_t ci = 0;
     for (int64_t r = 0; r < e_total; ++r)
@@ -486,19 +497,24 @@ void tba_pack_edges(
         const int64_t src = edge_perm[r];
         if (src >= 0)
         {
-            for (int64_t k = 0; k < M_in; ++k)
+            const int8_t act = active[src] > 0.0 ? 1 : 0;
+            if (!compact || act)
             {
-                meas_out[k * e_total + r] = meas[src * M_in + k];
-            }
-            for (int64_t k = M_in; k < M_out; ++k)
-            {
-                meas_out[k * e_total + r] = 0.0;
+                const int64_t mc = compact ? mpos++ : r;
+                for (int64_t k = 0; k < M_in; ++k)
+                {
+                    meas_out[k * meas_cols + mc] = meas[src * M_in + k];
+                }
+                for (int64_t k = M_in; k < M_out; ++k)
+                {
+                    meas_out[k * meas_cols + mc] = 0.0;
+                }
             }
             if (has_per_edge_omega)
             {
                 omega_out[r] = omega[src];
             }
-            active_out[r] = active[src] > 0.0 ? 1 : 0;
+            active_out[r] = act;
             if (has_mask3)
             {
                 mask3_out[r] = mask3[src] > 0.0 ? 1 : 0;
@@ -516,9 +532,12 @@ void tba_pack_edges(
         }
         else
         {
-            for (int64_t k = 0; k < M_out; ++k)
+            if (!compact)
             {
-                meas_out[k * e_total + r] = 0.0;
+                for (int64_t k = 0; k < M_out; ++k)
+                {
+                    meas_out[k * meas_cols + r] = 0.0;
+                }
             }
             if (has_per_edge_omega)
             {
@@ -542,6 +561,7 @@ void tba_pack_edges(
                 class_lm_start[ci] + in_class % class_slot_stride[ci]);
         }
     }
+    return compact ? mpos : e_total;
 }
 
 // ---------------------------------------------------------------------------

@@ -197,6 +197,21 @@ def _pack_device_cm_derived(
     both_free = ((pose_idx < Pa) & (lm_idx < La)).astype(dtype)
     active = active_i8.astype(dtype)
     mask3 = None if mask3_i8 is None else mask3_i8.astype(dtype)
+    E = active_i8.shape[0]
+    n = measT.shape[1]
+    if n < E:
+        # COMPACT measurement upload (native/layout.cpp): only rows with
+        # active == 1 shipped, in layout order — restore the padded layout
+        # with one monotone gather (~30 ms device at KITTI-00 scale vs
+        # 40-90 ms of tunnel time for the dropped ~26% dummy bytes).
+        # Inactive/dummy rows read the appended zero column; their meas is
+        # never consumed unmasked (same contract as the dummy fills).
+        pos = jnp.cumsum(active_i8.astype(jnp.int32)) - 1
+        idx = jnp.where(active_i8 > 0, pos, n)
+        measp = jnp.concatenate(
+            [measT, jnp.zeros((measT.shape[0], 1), measT.dtype)], axis=1
+        )
+        measT = measp[:, idx]
     return (
         measT.astype(dtype),
         cam.astype(dtype).T,

@@ -59,7 +59,7 @@ def _load():
         i64, i64p, i64p, i64p, i64p, i64, i64,
         i64p, i64p, i64p, i64p, i64p, i64p, i64,
     ]
-    lib.tba_pack_edges.restype = None
+    lib.tba_pack_edges.restype = i64
     lib.tba_pack_edges.argtypes = [
         i64p, i64,
         f64p, i64, i64,
@@ -68,6 +68,7 @@ def _load():
         f64p, i64,
         i64p, i64p, i64p, i64,
         i64, i64p, i64p, i64p,
+        i64,
         f64p, f64p, i8p, i8p, i16p, i32p, i32p,
     ]
     _LIB = lib
@@ -204,15 +205,19 @@ def native_group_layout(pose_idx, lm_idx, Pa, La, gc=8, tile_n=128):
 
 def native_pack_edges(
     lay, meas, omega, active, mask3, pose_idx, lm_idx, lm_renumber_full,
-    Pa, M_out, use_int16,
+    Pa, M_out, use_int16, compact_meas=True,
 ):
     """Fused layout-order packing of the per-edge payloads.
 
     Returns ``(measT, omega_or_None, active_i8, mask3_i8_or_None, pose_up,
     lm_idx)`` — the host arrays :meth:`initialize_from_arrays` uploads — or
     ``None`` when the library is absent.  ``meas`` is ``[E, M_in]`` f64;
-    ``measT`` comes back component-major ``[M_out, e_total]`` (third row
-    zero-padded for pure-mono sets so the device transpose disappears).
+    ``measT`` comes back component-major: ``[M_out, n_active]`` COMPACT
+    (``compact_meas``, the default — only rows with ``active_i8 == 1``, in
+    layout order; the device restores padding with one monotone gather,
+    cutting the dominant upload by the ~26% dummy fraction) or
+    ``[M_out, e_total]`` padded (third row zero-filled for pure-mono sets
+    so the device transpose disappears).
     """
     lib = _load()
     if lib is None:
@@ -251,7 +256,16 @@ def native_pack_edges(
     if not len(cls):  # no classes: plain layout, let numpy handle it
         return None
 
-    measT = np.empty((M_out, e_total), dtype=np.float64)
+    if compact_meas:
+        real = edge_perm >= 0
+        if active_c.size > 1:
+            n_meas = int(np.count_nonzero(active_c[edge_perm[real]] > 0))
+        else:
+            n_meas = int(np.count_nonzero(real)) if float(active_c[0]) > 0 else 0
+        if n_meas == 0 or n_meas >= e_total:
+            compact_meas = False
+    meas_cols = n_meas if compact_meas else e_total
+    measT = np.empty((M_out, meas_cols), dtype=np.float64)
     omega_out = np.empty(e_total if per_edge_omega else 1, dtype=np.float64)
     active_out = np.empty(e_total, dtype=np.int8)
     mask3_out = np.empty(e_total if has_mask3 else 1, dtype=np.int8)
@@ -263,7 +277,7 @@ def native_pack_edges(
         p16, p32 = None, _p(pose_out, i32p)
     lm_out = np.empty(e_total, dtype=np.int32)
 
-    lib.tba_pack_edges(
+    written = lib.tba_pack_edges(
         _p(edge_perm, i64p), e_total,
         _p(meas, f64p), M_in, M_out,
         _p(omega_c, f64p), int(per_edge_omega),
@@ -271,6 +285,7 @@ def native_pack_edges(
         _p(mask3_c, f64p), int(has_mask3),
         _p(pose_c, i64p), _p(lm_c, i64p), _p(lmr, i64p), Pa,
         len(cls), _p(ces, i64p), _p(cls_lm, i64p), _p(css, i64p),
+        meas_cols,
         _p(measT, f64p),
         _p(omega_out, f64p),
         _p(active_out, i8p),
@@ -278,6 +293,7 @@ def native_pack_edges(
         p16, p32,
         _p(lm_out, i32p),
     )
+    assert written == meas_cols, (written, meas_cols)
     return (
         measT,
         omega_out if per_edge_omega else None,

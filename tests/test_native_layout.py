@@ -173,6 +173,14 @@ def test_pack_bit_parity(kind, monkeypatch):
             if r[k] is None:
                 assert g[k] is None, k
                 continue
+            if k == "meas":
+                # compact meas upload: inactive/dummy rows restore as ZERO
+                # on the native path (the numpy path keeps a real-but-
+                # inactive edge's measurement; it is never consumed
+                # unmasked either way)
+                assert np.array_equal(r[k][:, live], g[k][:, live]), k
+                assert np.all(g[k][:, ~live] == 0.0), k
+                continue
             if k in ("pose_idx", "both_free"):
                 # the native path DERIVES class-region indices on device
                 # (_pack_device_cm_derived): ragged dummy members carry
