@@ -1788,6 +1788,10 @@ class BlockSolver:
                 # device indices (_attach_expand_plans): keep host + device
                 self._cp_host = cp_i32
                 self._cp_dev = jnp.asarray(cp_i32)
+                if dt == jnp.float32:
+                    # f32 solve mode: cast the dominant upload on the host —
+                    # bit-identical to the on-device cast and half the bytes
+                    measT_h = measT_h.astype(np.float32)
                 (measT, camT, pose_idx_dev, lm_idx_dev, both_free,
                  active_dev, mask3_dev) = _pack_device_cm_derived(
                     jnp.asarray(measT_h),

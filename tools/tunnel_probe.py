@@ -47,7 +47,9 @@ def probe() -> dict:
 
 
 def healthy(p: dict) -> bool:
-    return p["dispatch_ms_median"] <= 33.0 and p["upload_MBps"] >= 35.0
+    # "healthy enough to record": mid-range conditions.  Best observed is
+    # ~27 ms / 80 MB/s; degraded periods run 45-60 ms / 17-23 MB/s.
+    return p["dispatch_ms_median"] <= 40.0 and p["upload_MBps"] >= 30.0
 
 
 if __name__ == "__main__":
