@@ -59,6 +59,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.partial(jax.jit, static_argnames=("E", "M", "nch", "chunk"))
+def _idx_matrix(device_idx, E, M, nch, chunk):
+    di = jax.lax.slice_in_dim(device_idx, 0, E, axis=0).astype(jnp.int32)
+    pad = nch * chunk - E
+    if pad:
+        di = jnp.concatenate(
+            [di, jnp.full((pad,), M, dtype=jnp.int32)], axis=0
+        )
+    return di.reshape(nch, 8, chunk // 8)
+
+
 def build_expand_plan(
     idx: np.ndarray,
     table_cols: int,
@@ -113,13 +124,9 @@ def build_expand_plan(
     starts = np.minimum(starts, max(M - 1, 0))
 
     if device_idx is not None and device_idx.shape[0] >= E:
-        di = jax.lax.slice_in_dim(device_idx, 0, E, axis=0).astype(jnp.int32)
-        pad = nch * chunk - E
-        if pad:
-            di = jnp.concatenate(
-                [di, jnp.full((pad,), M, dtype=jnp.int32)], axis=0
-            )
-        idx_dev = di.reshape(nch, 8, chunk // 8)
+        # ONE jitted program for the slice+pad+reshape: eager ops here are
+        # separate tiny dispatches, each paying tunnel service time
+        idx_dev = _idx_matrix(device_idx, E, M, nch, chunk)
     else:
         idx_dev = jnp.asarray(
             by_chunk.reshape(nch, 8, chunk // 8).astype(np.int32)

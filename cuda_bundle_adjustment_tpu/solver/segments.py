@@ -57,6 +57,7 @@ class UploadPool:
 
     def __init__(self):
         self._arrays: list[np.ndarray] = []
+        self._shapes: list[tuple] = []
         self._offsets: list[int] = [0]
         self._device: tuple | None = None
 
@@ -66,6 +67,7 @@ class UploadPool:
         a = np.ascontiguousarray(np.asarray(a, dtype=np.int32))
         h = _Handle(self, len(self._arrays), a.shape)
         self._arrays.append(a.reshape(-1))
+        self._shapes.append(a.shape)
         self._offsets.append(self._offsets[-1] + a.size)
         return h
 
@@ -78,20 +80,30 @@ class UploadPool:
             else np.zeros(0, dtype=np.int32)
         )
         dev = jnp.asarray(flat)  # the ONE upload
-        sizes = tuple(int(a.size) for a in self._arrays)
+        shapes = tuple(
+            tuple(int(d) for d in s) for s in self._shapes
+        )
         offs = tuple(self._offsets[:-1])
-        self._device = _pool_split(dev, offs, sizes)
+        self._device = _pool_split(dev, offs, shapes)
 
     def resolve(self, h: _Handle):
         if self._device is None:
             self.commit()
-        return self._device[h.offset].reshape(h.shape)
+        return self._device[h.offset]
 
 
-@functools.partial(jax.jit, static_argnames=("offs", "sizes"))
-def _pool_split(flat, offs, sizes):
+@functools.partial(jax.jit, static_argnames=("offs", "shapes"))
+def _pool_split(flat, offs, shapes):
+    # reshapes happen INSIDE the one split program: an eager per-array
+    # .reshape() is a separate tiny dispatch, and ~20 of them per structure
+    # pay real per-dispatch service time behind the RPC tunnel
+    import math
+
     return tuple(
-        jax.lax.slice_in_dim(flat, o, o + n) for o, n in zip(offs, sizes)
+        jax.lax.slice_in_dim(
+            flat, o, o + math.prod(s)
+        ).reshape(s)
+        for o, s in zip(offs, shapes)
     )
 
 
