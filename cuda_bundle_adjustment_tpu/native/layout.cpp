@@ -236,30 +236,18 @@ int64_t tba_layout_analyze(
             }
             gid[i] = ngroups - 1;
         }
-        // group sizes -> chunk-width choice (same cost model as _choose_gc)
+        // chunk width: ALWAYS gc_max, matching solver/groups.py _choose_gc
+        // (double-float kernel exactness requires >= 8-sublane values, and
+        // wide chunks minimise pair-product output rows — see the Python
+        // docstring for the full rationale; model_cost kept for reference)
         std::vector<int64_t> gsz(ngroups, 0);
         for (int64_t i = 0; i < Ld; ++i)
         {
             ++gsz[gid[i]];
         }
         const int64_t npairs = d * (d + 1) / 2;
-        int64_t best_g = 1;
-        double best_cost = -1.0;
-        for (int64_t g = 1; g <= gc_max; g *= 2)
-        {
-            int64_t nc = 0;
-            for (int64_t gi = 0; gi < ngroups; ++gi)
-            {
-                nc += (gsz[gi] + g - 1) / g;
-            }
-            const int64_t nc_pad = (nc + tile_n - 1) / tile_n * tile_n;
-            const double cost = model_cost(nc_pad, d, g, npairs);
-            if (best_cost < 0.0 || cost < best_cost)
-            {
-                best_g = g;
-                best_cost = cost;
-            }
-        }
+        (void)model_cost;
+        const int64_t best_g = gc_max;
         int64_t nc = 0;
         for (int64_t gi = 0; gi < ngroups; ++gi)
         {

@@ -214,7 +214,9 @@ def schur_pair_rows_packed(Hpl36, invHll, plan, interpret: bool = False):
     dtype = invHll.dtype
     hhi = Hpl36[:18]
     hlo = Hpl36[18:]
-    IT = invHll.T  # [9, La]
+    # barrier before the split: see pallas/terms.py split_ff — without it
+    # excess-precision fusion de-rounds hi and the kernel loses the lo bits
+    IT = jax.lax.optimization_barrier(invHll.T)  # [9, La]
     ihi = IT.astype(jnp.float32)
     ilo = (IT - ihi.astype(dtype)).astype(jnp.float32)
     return _pair_rows_from_splits(hhi, hlo, ihi, ilo, plan, interpret)
@@ -232,10 +234,15 @@ def schur_pair_rows_v2(Hpl, invHll, plan, interpret: bool = False):
     ``GroupLayout.out_key``."""
     layout = plan.layout
     dtype = Hpl.dtype
-    HT = Hpl[: layout.e_classes].T  # [18, e_classes]
+    # barriers before the splits: see pallas/terms.py split_ff — without
+    # them excess-precision fusion de-rounds hi and the kernel loses the
+    # lo bits (hardware exactness gate regressed 3e-14 -> 8e-8)
+    HT = jax.lax.optimization_barrier(
+        Hpl[: layout.e_classes].T
+    )  # [18, e_classes]
     hhi = HT.astype(jnp.float32)
     hlo = (HT - hhi.astype(dtype)).astype(jnp.float32)
-    IT = invHll.T  # [9, La]
+    IT = jax.lax.optimization_barrier(invHll.T)  # [9, La]
     ihi = IT.astype(jnp.float32)
     ilo = (IT - ihi.astype(dtype)).astype(jnp.float32)
     return _pair_rows_from_splits(hhi, hlo, ihi, ilo, plan, interpret)

@@ -557,7 +557,15 @@ def chi_class_call(
 
 
 def split_ff(x):
-    """Exact (hi, lo) f32 pair of an f64 array (on TPU f64 IS such a pair)."""
+    """Exact (hi, lo) f32 pair of an f64 array (on TPU f64 IS such a pair).
+
+    The optimization_barrier is LOAD-BEARING: under
+    ``--xla_allow_excess_precision`` XLA may fuse the producer into the
+    split so ``hi`` is not the exactly-rounded f32 of ``x`` and
+    ``hi + lo != x`` — which silently degrades every downstream
+    double-float kernel to ~f32 accuracy (measured 3e-14 -> 8e-8 on the
+    hardware exactness gate, tools/tpu_parity.py)."""
+    x = jax.lax.optimization_barrier(x)
     hi = x.astype(jnp.float32)
     lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
     return hi, lo

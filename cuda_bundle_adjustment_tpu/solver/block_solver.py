@@ -589,6 +589,7 @@ def _terms_kernel_inputs(graph, data, meta, dtype, pose_state):
     act32 = data.active.astype(jnp.float32)
     m3_32 = None if data.mask3 is None else data.mask3.astype(jnp.float32)
     cam64 = data.cam[:, 0]
+    cam64 = jax.lax.optimization_barrier(cam64)  # exact-split guard
     cam_hi = cam64.astype(jnp.float32)
     cam_lo = (cam64 - cam_hi.astype(dtype)).astype(jnp.float32)
     cam = jnp.broadcast_to(

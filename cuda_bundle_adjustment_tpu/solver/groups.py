@@ -93,27 +93,26 @@ class GroupLayout(NamedTuple):
 
 
 def _choose_gc(gsizes: np.ndarray, d: int, gc_max: int, tile_n: int) -> int:
-    """Pick this class's chunk width from {1, 2, 4, ..., gc_max}.
+    """Chunk width per class: ALWAYS ``gc_max`` (8).
 
-    The tradeoff (measured on v5e, see NEXT_STEPS.md): every padded EDGE row
-    costs ~35 ns/LM-iteration in the per-edge stages (residuals, Jacobians,
-    block stacks), every kernel OUTPUT row ~63 ns (pair product + the
-    gather-reduce into Hsc blocks).  High-degree classes have tiny
-    co-visibility groups (mostly singletons), where gc=8 pads edges 4-8x for
-    no output-row benefit; low-degree classes have big groups that amortise
-    wide chunks.  Minimise the modelled per-iteration cost per class."""
-    EDGE_NS, OUT_NS = 35.0, 63.0
-    npairs = d * (d + 1) // 2
-    best_g, best_cost = 1, None
-    g = 1
-    while g <= gc_max:
-        nc = int((-(-gsizes // g)).sum())
-        nc_pad = -(-nc // tile_n) * tile_n
-        cost = EDGE_NS * d * g * nc_pad + OUT_NS * npairs * nc_pad
-        if best_cost is None or cost < best_cost:
-            best_g, best_cost = g, cost
-        g *= 2
-    return best_g
+    A per-class cost model once picked from {1, 2, 4, 8} (round 2: padded
+    edge rows ~35 ns/iter, kernel output rows ~63 ns/iter), but it is
+    obsolete twice over:
+
+    1. **Exactness**: the double-float Pallas kernels lose their two-sum
+       compensation on a sparse ~0.02% of entries whenever values have
+       fewer than 8 sublanes (gc < 8 here; measured on hardware: the
+       pair-product kernel's longdouble-oracle error degrades 3e-14 ->
+       2.5e-9 at gc=1, tools/tpu_parity.py).  gc = 8 keeps every kernel
+       value at the native (8, 128) tile and restores exactness.
+    2. **Perf**: the fused linearisation/chi kernels cut per-edge cost
+       ~40x below the model's 35 ns while per-OUTPUT-row cost (the Hsc
+       assembly gather, ~60 ns/row) is unchanged — wide chunks now win on
+       both terms (fewer chunks => fewer pair-product output rows), and
+       padding no longer costs upload bytes (compact measurement upload,
+       device-derived indices).
+    """
+    return gc_max
 
 
 def build_group_layout(

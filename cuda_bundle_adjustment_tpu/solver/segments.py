@@ -302,6 +302,9 @@ def reduce_rows_f64_packed(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
     """
     if X.dtype != jnp.float64:
         return reduce_rows(X, plan)
+    # barrier before the split: see pallas/terms.py split_ff — excess-
+    # precision fusion would de-round hi and drop the lo bits
+    X = jax.lax.optimization_barrier(X)
     hi = X.astype(jnp.float32)
     lo = (X - hi.astype(X.dtype)).astype(jnp.float32)
     return reduce_rows_ff(jnp.concatenate([hi, lo], axis=1), plan, X.dtype)
@@ -343,6 +346,7 @@ def reduce_rows_f64_cmajor(X: jnp.ndarray, plan: BucketPlan) -> jnp.ndarray:
     """:func:`reduce_rows_f64_packed` for component-major ``[K, N]`` rows."""
     if X.dtype != jnp.float64:
         return _reduce_rows_cm(X, plan)
+    X = jax.lax.optimization_barrier(X)  # see split_ff: exact-split guard
     hi = X.astype(jnp.float32)
     lo = (X - hi.astype(X.dtype)).astype(jnp.float32)
     return reduce_rows_ff_cmajor(jnp.concatenate([hi, lo], axis=0), plan, X.dtype)
