@@ -72,7 +72,6 @@ extern "C" {
 //   lms_s_all  [La]     int64   (out: per-class concatenated sorted landmarks)
 //   gid_all    [La]     int64   (out: group id within class, aligned with
 //                                lms_s_all)
-//   cls_of_lm  [La]     int64   (out: class slot per landmark, -1 if deg==0)
 // Outputs:
 //   class_d / class_ld / class_nc / class_gc / class_npairs [max_classes]
 //   out_fix_count [1]: total duplicate-pose fix rows (sizes emit's fix_rows)

@@ -29,6 +29,9 @@ from .utils.stats import BatchInfo, BatchStatistics
 
 MAX_INNER_ITERATIONS = 10  # maxq, cuda_graph_optimisation.cpp:50
 TAU = 1e-5  # initial lambda factor, cuda_graph_optimisation.cpp:51
+# outer-termination rho threshold: single source of truth in solver/fused.py
+# (both loops must terminate identically for trace parity)
+from .solver.fused import RHO_DONE  # noqa: E402
 
 
 def attenuation(rho: float) -> float:
@@ -188,7 +191,7 @@ class TpuGraphOptimisation:
                     f"outliers = {outlier_count}"
                 )
 
-            if q == MAX_INNER_ITERATIONS or rho < 1e-6 or not math.isfinite(lam):
+            if q == MAX_INNER_ITERATIONS or rho < RHO_DONE or not math.isfinite(lam):
                 break
 
         solver.update_edges()

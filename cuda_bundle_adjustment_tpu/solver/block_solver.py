@@ -1691,6 +1691,12 @@ class BlockSolver:
             if self.group_layout is not None:
                 lay = self.group_layout
                 perm = lay.edge_perm
+                # layout order has dummy rows -> per-edge active is required;
+                # broadcast the size-1 "all edges share one flag" shorthand
+                # here so BOTH pack paths (native C++ and the numpy _take
+                # fallback) see a full-length mask
+                if active.size == 1 and E > 1:
+                    active = np.full(E, float(active.reshape(-1)[0]))
                 if isinstance(thr, np.ndarray) or cam.shape[0] > 1:
                     pass  # per-edge thresholds/cameras keep the numpy path
                 else:
@@ -1871,11 +1877,23 @@ class BlockSolver:
         E_obj = len(es.edges)
         if es.KIND in ("mono", "stereo", "depth"):
             K = es.MDIM
-            meas_obj = np.zeros((E_obj, K), dtype=np.float64)
-            for i, edge in enumerate(es.edges):
-                meas_obj[i] = np.asarray(
-                    edge.measurement, dtype=np.float64
-                ).reshape(K)
+            if E_obj == 0:
+                meas_obj = np.zeros((0, K), dtype=np.float64)
+            else:
+                # one-pass batch conversion (list -> one C-level np.array);
+                # the per-row asarray/reshape loop costs 2.5x more at 100k
+                # edges. Fallback covers ragged shapes ((K,1) mixed with
+                # (K,), lists, etc.) the reshape cannot absorb uniformly.
+                try:
+                    meas_obj = np.array(
+                        [e.measurement for e in es.edges], dtype=np.float64
+                    ).reshape(E_obj, K)
+                except (ValueError, TypeError):
+                    meas_obj = np.zeros((E_obj, K), dtype=np.float64)
+                    for i, edge in enumerate(es.edges):
+                        meas_obj[i] = np.asarray(
+                            edge.measurement, dtype=np.float64
+                        ).reshape(K)
         else:
             vecs = [e.measurement.to_vec() for e in es.edges]
             K = 10 if es.KIND == "line" else 7
@@ -1883,6 +1901,9 @@ class BlockSolver:
                 np.stack(vecs, axis=0) if vecs else np.zeros((0, K))
             )
 
+        info_obj = np.fromiter(
+            (e.information for e in es.edges), np.float64, E_obj
+        )
         # Guard against the silent degenerate system the reference only
         # half-protects against (optimisable_graph.hpp:478-482 asserts the
         # converse): with the global-omega mode active, per-edge information
@@ -1892,7 +1913,7 @@ class BlockSolver:
             E_obj > 0
             and not opts.per_edge_information
             and es.information == 0.0
-            and any(e.information != 0.0 for e in es.edges)
+            and np.any(info_obj != 0.0)
         ):
             raise ValueError(
                 f"{es.KIND} edge set: edges carry non-zero information but the "
@@ -1912,14 +1933,12 @@ class BlockSolver:
         else:
             lm_idx_obj = np.zeros(E_obj, dtype=np.int64)
         if opts.per_edge_information:
-            omega_obj = np.fromiter(
-                (e.information for e in es.edges), np.float64, E_obj
-            )
+            omega_obj = info_obj
         else:
             omega_obj = np.full(E_obj, es.information)
         active_obj = np.fromiter(
-            (1.0 if e.is_active else 0.0 for e in es.edges), np.float64, E_obj
-        )
+            (e.is_active for e in es.edges), np.bool_, E_obj
+        ).astype(np.float64)
 
         global_cam = es.camera.to_vec()
         cam = global_cam

@@ -40,6 +40,9 @@ from .block_solver import (
 
 MAXQ = 10
 TAU = 1e-5
+# outer-termination rho threshold (cuda_graph_optimisation.cpp:141); the host
+# loop (optimizer.py) imports THIS constant so the two loops cannot drift
+RHO_DONE = 1e-6
 
 
 class FusedResult(NamedTuple):
@@ -131,14 +134,14 @@ def optimize_fused(
             bail = (~jnp.isfinite(lam_n)) | (Fdiff < 1e-4)
             stop_n = accept | bail
             q_n = jnp.where(stop_n, q, q + 1)
-            # INVARIANT: new_state rides un-selected (a tree-map select would
-            # copy ~120 MB per trial).  It is only consumed by the NEXT outer
-            # iteration's build_system, and the outer loop only continues
-            # after an ACCEPT: every non-accept exit also trips done_now in
-            # one_iteration (rho <= 0 < 1e-6, or non-finite lambda).  If the
-            # outer termination test ever changes so a rejected trial can be
-            # followed by another iteration, this carry must become
-            # jax.tree.map(where(accept, new_state, state_c)) like graph_n.
+            # new_state rides un-selected WITHIN the inner loop (a tree-map
+            # select here would copy ~120 MB per trial and no inner trial
+            # consumes it — each trial re-expands from its own candidate
+            # graph).  one_iteration re-selects it ONCE per outer iteration
+            # against the entry state, so a non-accept exit cannot leak a
+            # rejected trial's state into the next linearisation even if the
+            # outer termination test changes (tests/test_fused.py pins this
+            # with RHO_DONE monkeypatched to keep iterating past rejections).
             return (graph_n, new_state, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
 
         init = (
@@ -169,11 +172,22 @@ def optimize_fused(
                 graph, packed, metas, Pa, La, plan, pose_state=state
             )
             lam0 = jnp.where(it == 0, TAU * max_diagonal(sys), lam)
-            graph, state, lam, nu, F, rho, q = inner_damping(
+            graph, state_exit, lam, nu, F, rho, q = inner_damping(
                 graph, state, sys, lam0, nu, F0
             )
+            # the exit state matches the graph only after an ACCEPT (rho > 0);
+            # a bail/exhaustion exit rolled the graph back to the iteration's
+            # entry graph, so roll the shared pose state back with it.  One
+            # fused select per OUTER iteration (~0.2 ms at KITTI-00 scale) —
+            # cheap insurance that the carry stays correct under ANY outer
+            # termination rule.
+            if state is not None:
+                ok = rho > 0
+                state = jax.tree.map(
+                    lambda a, b: jnp.where(ok, a, b), state_exit, state
+                )
             trace = trace.at[it].set(F)
-            done_now = (q == MAXQ) | (rho < 1e-6) | (~jnp.isfinite(lam))
+            done_now = (q == MAXQ) | (rho < RHO_DONE) | (~jnp.isfinite(lam))
             return graph, state, F, lam, nu, done_now, trace, n_done + 1, rho
 
         def skip(args):

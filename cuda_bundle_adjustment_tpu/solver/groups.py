@@ -149,10 +149,15 @@ def build_group_layout(
     # Single combined int64 key + STABLE argsort (numpy radix-sorts integer
     # keys: 0.8 ms vs 33.5 ms for the 3-key lexsort at KITTI-00 scale); the
     # free_rows tiebreak comes free because the key array is in row order.
-    order = np.argsort(
-        lm_idx[free_rows] * np.int64(Pa + 1) + pose_idx[free_rows],
-        kind="stable",
-    )
+    # Guard the combine against int64 wrap (max key < La*(Pa+1)); fall back
+    # to the stable lexsort when it cannot fit, mirroring the tuple-key path.
+    if La == 0 or np.log2(max(La, 1)) + np.log2(Pa + 1) < 62:
+        order = np.argsort(
+            lm_idx[free_rows] * np.int64(Pa + 1) + pose_idx[free_rows],
+            kind="stable",
+        )
+    else:
+        order = np.lexsort((pose_idx[free_rows], lm_idx[free_rows]))
     fr = free_rows[order]
     fl = lm_idx[free_rows][order]
     fp = pose_idx[free_rows][order]

@@ -238,13 +238,22 @@ def native_pack_edges(
         if per_edge_omega
         else np.zeros(1)
     )
+    # tba_pack_edges indexes active[src] / mask3[src] for every real row, so a
+    # scalar/size-1 array (the "all edges share one flag" shorthand the numpy
+    # path accepts) must be broadcast to source-edge length before the call —
+    # otherwise the C++ reads out of bounds.
+    n_src = meas.shape[0]
     active_c = np.ascontiguousarray(active, dtype=np.float64)
+    if active_c.size == 1 and n_src > 1:
+        active_c = np.full(n_src, float(active_c.reshape(-1)[0]))
     has_mask3 = mask3 is not None
     mask3_c = (
         np.ascontiguousarray(mask3, dtype=np.float64)
         if has_mask3
         else np.zeros(1)
     )
+    if has_mask3 and mask3_c.size == 1 and n_src > 1:
+        mask3_c = np.full(n_src, float(mask3_c.reshape(-1)[0]))
     pose_c = np.ascontiguousarray(pose_idx, dtype=np.int64)
     lm_c = np.ascontiguousarray(lm_idx, dtype=np.int64)
     lmr = np.ascontiguousarray(lm_renumber_full, dtype=np.int64)

@@ -19,6 +19,12 @@ class PackedEdges(NamedTuple):
     ``active`` is a float mask (1.0 = active, 0.0 = deactivated/outlier) —
     masking replaces the reference's dynamic edge removal + structure rebuild
     (optimisable_graph.hpp:604-640) so shapes stay static under jit.
+
+    CONTRACT: ``meas`` of rows with ``active == 0`` is UNDEFINED. The compact
+    upload path restores inactive rows as zeros while the padded path keeps
+    their last values; every consumer must multiply by ``active`` (all current
+    ones do). Do not read ``meas`` of an inactive edge for diagnostics or
+    re-activation without first re-packing.
     """
 
     meas: jnp.ndarray  # [K, E] measurement payload, component-FIRST (lane = edge)

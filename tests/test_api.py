@@ -497,3 +497,50 @@ def test_bulk_info_batches_take_pack_time_global():
         return [s.chi2 for s in opt.batch_statistics().get()]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-12)
+
+
+def test_object_pack_speed_100k():
+    """Object-API pack speed: spec extraction for 100k per-edge Python objects
+    must stay batch-vectorised (< 1 s; the reference's arena pack does 561k
+    edges in 67.9 ms, optimisable_graph.hpp:475-572 — per-edge np loops paid
+    seconds here before the one-pass batch conversion)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    E, P, L = 100_000, 300, 20_000
+    poses = tba.PoseVertexSet()
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (P, 1))
+    t = rng.normal(size=(P, 3))
+    for i in range(P):
+        poses.add_vertex(tba.PoseVertex(i, tba.Se3(q[i], t[i]), i >= P - 2))
+    landmarks = tba.LandmarkVertexSet()
+    for j in range(L):
+        landmarks.add_vertex(tba.LandmarkVertex(P + j, rng.normal(size=3)))
+
+    es = tba.MonoEdgeSet()
+    es.set_camera(tba.Camera(500.0, 500.0, 320.0, 240.0, 0.1))
+    es.set_information(1.0)
+    pi = rng.integers(0, P, E)
+    li = rng.integers(0, L, E)
+    meas = rng.normal(size=(E, 2))
+    for k in range(E):
+        e = tba.MonoEdge()
+        e.set_vertex(poses.get_vertex(int(pi[k])), 0)
+        e.set_vertex(landmarks.get_vertex(P + int(li[k])), 1)
+        e.set_measurement(meas[k])
+        e.set_information(1.0)
+        es.add_edge(e)
+
+    opt = tba.TpuGraphOptimisation.create()
+    opt.add_vertex_set(poses)
+    opt.add_vertex_set(landmarks)
+    opt.add_edge_set(es)
+    opt.initialize()  # assigns vertex indices, packs once (untimed warm-up)
+
+    t0 = time.perf_counter()
+    spec = opt.solver._spec_from_edge_set(es)
+    dt = time.perf_counter() - t0
+    assert spec["meas"].shape == (E, 2)
+    assert spec["pose_idx"].shape == (E,)
+    np.testing.assert_array_equal(spec["meas"], meas)
+    assert dt < 1.0, f"object spec extraction took {dt:.2f}s for {E} edges"

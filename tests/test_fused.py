@@ -91,3 +91,77 @@ def test_fused_pose_only():
     opt.initialize()
     opt.optimize(10)
     assert opt.batch_statistics().get()[-1].chi2 < 1e-10
+
+
+def test_fused_carry_invariant_under_rejections(monkeypatch):
+    """Round-2 weak #8: the shared pose state rides the inner-loop carry
+    un-selected; one_iteration must re-select it against the entry state so
+    a non-accept exit cannot leak a rejected trial's state into the next
+    linearisation under ANY outer termination rule.  Exercise exactly that:
+    disable the rho termination (RHO_DONE -> -2 in both loops) and force
+    mid-run LARGE-step rejections by failing the solve whenever lambda drops
+    below 1000 (success=False -> rho=-1 -> Fdiff<1e-4 bail, with the
+    rejected candidate far from the rolled-back graph).  The share-state
+    fused loop must match both the no-share fused loop and the host loop."""
+    import cuda_bundle_adjustment_tpu.optimizer as opt_mod
+    import cuda_bundle_adjustment_tpu.pallas.onehot as oh
+    import cuda_bundle_adjustment_tpu.solver.block_solver as bs
+    import cuda_bundle_adjustment_tpu.solver.fused as fused_mod
+    from cuda_bundle_adjustment_tpu.io.synthetic import make_ba_problem as mk
+
+    problem = mk(
+        num_poses=9, num_landmarks=55, mean_obs_per_landmark=4.0, kind="mono",
+        seed=91, noise_px=1.0, landmark_noise=0.3, pose_noise=0.05,
+        num_fixed_poses=2,
+    )
+
+    monkeypatch.setattr(fused_mod, "RHO_DONE", -2.0)
+    monkeypatch.setattr(opt_mod, "RHO_DONE", -2.0)
+
+    # lambda decays ~6.4e5 -> 692 by iteration 11 on this problem; failing
+    # the solve below 1000 yields an alternating reject(bail)/accept tail —
+    # every bail is a rejected GOOD step whose candidate state is far from
+    # the rolled-back graph
+    real_solve = bs.solve_schur
+
+    def failing_solve(sys, lam, plan, Pa, La, nnz, mixed=False):
+        xp, xl, success = real_solve(sys, lam, plan, Pa, La, nnz, mixed=mixed)
+        return xp, xl, success & (lam > 1000.0)
+
+    monkeypatch.setattr(bs, "solve_schur", failing_solve)
+    monkeypatch.setattr(fused_mod, "solve_schur", failing_solve)
+
+    orig_expand = oh.expand
+    monkeypatch.setattr(
+        oh, "expand", lambda t, p, interpret=False: orig_expand(t, p, True)
+    )
+
+    def run(share_state, fused):
+        opt = optimizer_from_problem(problem)
+        if share_state:
+            solver = opt.solver
+            lay = solver.group_layout
+            assert lay is not None and solver._cp_host is not None
+            pxp = oh.build_expand_plan(solver._cp_host, solver.P, chunk=1024)
+            assert pxp is not None
+            solver.packed = (
+                solver.packed[0]._replace(pose_xp=pxp, lm_slot=lay.meta),
+            )
+        opt.use_fused_loop = fused
+        opt.optimize(20)
+        return [s.chi2 for s in opt.batch_statistics().get()]
+
+    th = run(share_state=False, fused=False)  # host oracle
+    tn = run(share_state=False, fused=True)   # fused, no shared state
+    tf = run(share_state=True, fused=True)    # fused, shared-state carry
+
+    # witness: at least one bail (chi2 unchanged) FOLLOWED by an accepted
+    # iteration (chi2 changed) — the exact pattern that reads a stale state
+    # if the carry is wrong
+    rejects = [i for i in range(1, len(th)) if th[i] == th[i - 1]]
+    assert rejects and any(
+        th[j] != th[j - 1] for j in range(rejects[0] + 1, len(th))
+    ), th
+    assert len(tn) == len(th) and len(tf) == len(th)
+    np.testing.assert_allclose(tn, th, rtol=1e-9)
+    np.testing.assert_allclose(tf, th, rtol=1e-9)

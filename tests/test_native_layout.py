@@ -146,6 +146,43 @@ def test_native_index_matches_unique_searchsorted():
         )
 
 
+def test_pack_scalar_active_broadcast():
+    """A size-1 active array (the "all edges share one flag" shorthand the
+    numpy path's nedges branch accepts) must NOT reach tba_pack_edges
+    unbroadcast — the C++ reads active[src] per real row and would read out
+    of bounds.  native_pack_edges broadcasts internally; pin bit-parity of
+    the scalar call against the explicitly broadcast call."""
+    from cuda_bundle_adjustment_tpu.solver.native_layout import (
+        native_pack_edges,
+    )
+
+    p = make_ba_problem(
+        num_poses=20, num_landmarks=300, mean_obs_per_landmark=3.0,
+        kind="mono", seed=4,
+    )
+    Pa, La = p.num_active_poses, p.num_active_landmarks
+    lay = build_group_layout(p.pose_idx, p.lm_idx, Pa, La)
+    E = p.meas.shape[0]
+    lm_tbl = lay.lm_renumber  # all landmarks active in this problem
+    common = dict(Pa=Pa, M_out=p.meas.shape[1], use_int16=True)
+    got_scalar = native_pack_edges(
+        lay, p.meas, None, np.ones(1), None,
+        p.pose_idx.astype(np.int64), p.lm_idx.astype(np.int64), lm_tbl,
+        **common,
+    )
+    got_full = native_pack_edges(
+        lay, p.meas, None, np.ones(E), None,
+        p.pose_idx.astype(np.int64), p.lm_idx.astype(np.int64), lm_tbl,
+        **common,
+    )
+    assert got_scalar is not None and got_full is not None
+    for a, b in zip(got_scalar, got_full):
+        if a is None:
+            assert b is None
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("kind", ["mono", "stereo", "mixed", "omega"])
 def test_pack_bit_parity(kind, monkeypatch):
     if kind == "mixed":
