@@ -96,9 +96,19 @@ class ShardedProblem(NamedTuple):
     # 0 = feature off, matching EdgeSet.setOutlierThreshold semantics,
     # /root/reference/src/optimisable_graph.hpp:415-419)
     outlier_threshold: float = 0.0
+    # replicated band direct solve (solver/block_solver.BandMeta, static):
+    # city-scale trajectory graphs keep a narrow Hsc band even at 10k+ poses,
+    # where the f32 Pallas band factor + f64 refinement (the single-chip fast
+    # path) beats PCG per trial; None -> chunked block-Jacobi PCG
+    band: object = None
 
 
-def shard_problem(problem, num_shards: int, outlier_threshold: float = 0.0) -> ShardedProblem:
+def shard_problem(
+    problem,
+    num_shards: int,
+    outlier_threshold: float = 0.0,
+    pose_solver: str = "pcg",
+) -> ShardedProblem:
     """Partition a :class:`~..io.synthetic.BAProblem` (or a
     :class:`~..io.synthetic.MixedBAProblem` — mono+stereo merge onto the
     masked-stereo path first) by landmark.
@@ -212,7 +222,32 @@ def shard_problem(problem, num_shards: int, outlier_threshold: float = 0.0) -> S
     tri_ej[t_slot] = (tri_slot_j % Es)[t_order]
     tri_k[t_slot] = s.tri_k[t_order]
 
-    pc = build_pcg_plan(s.blk_row, s.blk_col, Pa)
+    # replicated pose solve selection, mirroring the single-chip gate
+    # (block_solver.build_structure band eligibility): trajectory-like
+    # patterns with a narrow band after ordering take the f32 band factor +
+    # f64 refinement; wide patterns take block-Jacobi PCG.
+    # ``pose_solver``: "pcg" (default — runs everywhere, incl. the CPU
+    # virtual-mesh tests) | "band" (requires eligibility; Pallas kernels, so
+    # TPU or interpret mode) | "auto" (band when eligible, else pcg).
+    from ..solver.block_solver import BandMeta
+
+    band_meta = None
+    if pose_solver not in ("auto", "band", "pcg"):
+        raise ValueError(f"unknown pose_solver {pose_solver!r}")
+    if pose_solver in ("auto", "band") and s.nnz_blocks:
+        bw = int(np.max(s.blk_col.astype(np.int64) - s.blk_row))
+        sb = -(-(bw + 1) // 8) * 8
+        vmem = (Pa + sb) * sb * 512
+        if bw + 1 <= 48 and vmem <= 11 * 2**20:
+            band_meta = BandMeta(bw=bw, sb=sb)
+        elif pose_solver == "band":
+            raise ValueError(
+                f"pose_solver='band' but the Hsc bandwidth {bw} exceeds the "
+                "whole-band-in-VMEM budget; use 'auto' or 'pcg'"
+            )
+    pc = None if band_meta is not None else build_pcg_plan(
+        s.blk_row, s.blk_col, Pa
+    )
 
     return ShardedProblem(
         pose_q=jnp.asarray(problem.pose_q),
@@ -240,6 +275,7 @@ def shard_problem(problem, num_shards: int, outlier_threshold: float = 0.0) -> S
         pc=pc,
         mask3=mask3,
         outlier_threshold=float(outlier_threshold),
+        band=band_meta,
     )
 
 
@@ -276,10 +312,14 @@ def _make_shard_fns(mesh: Mesh, sp: ShardedProblem, rk: int, delta: float):
 
     def chi_and_system(q, t, Xw, ed: _EdgeData):
         graph = GraphArrays(q=q, t=t, Xw=Xw)
-        chi = jax.lax.psum(jnp.sum(model.chi(graph, ed, rk, delta)), axis)
+        chi_part = jnp.sum(model.chi(graph, ed, rk, delta))
         pose_stack, lm_stack, Hpl = model.terms(graph, ed, rk, delta)
-        pose_acc = jax.lax.psum(
-            segment_sum(pose_stack, ed.pose_idx, num_segments=Pa), axis
+        # ONE combined psum for the independent chi scalar + pose partials
+        # (see the trial's combined psum)
+        chi, pose_acc = jax.lax.psum(
+            (chi_part,
+             segment_sum(pose_stack, ed.pose_idx, num_segments=Pa)),
+            axis,
         )
         Hpp = pose_acc[:, :36].reshape(Pa, 6, 6)
         bp = pose_acc[:, 36:]
@@ -300,23 +340,36 @@ def _make_shard_fns(mesh: Mesh, sp: ShardedProblem, rk: int, delta: float):
         invHll = flat_sym3x3_inv(Hll_d)  # [Ls,9]
 
         W = flat_mm_6x3_3x3(Hpl, invHll[ed.lm_idx])  # [Es,18]
-        bsc = bp - jax.lax.psum(
-            segment_sum(
-                flat_mv_6x3(W, bl[ed.lm_idx]), ed.pose_idx, num_segments=Pa
-            ),
-            axis,
+        bsc_part = segment_sum(
+            flat_mv_6x3(W, bl[ed.lm_idx]), ed.pose_idx, num_segments=Pa
         )
         We = jnp.concatenate([W, jnp.zeros((1, 18), dtype)], axis=0)
         He = jnp.concatenate([Hpl, jnp.zeros((1, 18), dtype)], axis=0)
         prod = flat_abt_6x3(We[tri_ei], He[tri_ej])  # [Ts,36]
-        blocks = -jax.lax.psum(
-            segment_sum(prod, tri_k, num_segments=nnz), axis
-        )
-        blocks = blocks.at[diag_pos].add(Hpp_d.reshape(Pa, 36))
+        blocks_part = segment_sum(prod, tri_k, num_segments=nnz)
+        # ONE combined psum for both shard-partial reductions (they have no
+        # data dependence): a single all-reduce of ~nnz*36+Pa*6 doubles pay
+        # one collective latency instead of two — pinned by
+        # tests/test_distributed.py::test_trial_psums_are_combined
+        bsc_sum, blocks_sum = jax.lax.psum((bsc_part, blocks_part), axis)
+        bsc = bp - bsc_sum
+        blocks = (-blocks_sum).at[diag_pos].add(Hpp_d.reshape(Pa, 36))
 
-        xp, success = solve_blocks_pcg(
-            blocks, bsc, Pa, blk_row, blk_col, diag_pos, pc
-        )
+        if sp.band is not None:
+            # replicated band direct solve: the same f32 Pallas band factor
+            # + f64 refinement as the single-chip fast path
+            # (block_solver._solve_reduced_blocks band branch); operands are
+            # replicated so every device factors identically
+            from ..solver.block_solver import _solve_reduced_blocks
+
+            xp, success = _solve_reduced_blocks(
+                blocks, blk_row, blk_col, diag_pos, bsc, Pa,
+                mixed=True, band=sp.band, pcg=None,
+            )
+        else:
+            xp, success = solve_blocks_pcg(
+                blocks, bsc, Pa, blk_row, blk_col, diag_pos, pc
+            )
 
         # shard-local landmark back-substitution
         xp_e = xp[jnp.minimum(ed.pose_idx, Pa - 1)]

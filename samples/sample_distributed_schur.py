@@ -88,19 +88,37 @@ def main(argv: list[str]) -> int:
         )
 
         ncores = _os.cpu_count() or 1
+        # --band: replicated band direct pose solve (pose_solver="auto";
+        # Pallas kernels, so CPU runs them in interpret mode here)
+        pose_solver = "pcg"
+        if "--band" in argv:
+            pose_solver = "auto"
+            if jax.default_backend() == "cpu":
+                import cuda_bundle_adjustment_tpu.pallas.bandchol as _bc
+
+                for _nm in ("band_factor", "band_factor2", "band_solve"):
+                    _orig = getattr(_bc, _nm)
+                    setattr(
+                        _bc, _nm,
+                        (lambda o: lambda *a, **k: o(
+                            *a, **{**k, "interpret": True}
+                        ))(_orig),
+                    )
         print(
             f"sharded-program cost at D=1/2/4/8 ({niter} LM iterations per "
-            f"run; host has {ncores} physical core(s) — wall time measures "
-            f"total work + collective overhead, NOT parallel speedup)"
+            f"run; pose_solver={pose_solver}; host has {ncores} physical "
+            f"core(s) — wall time measures total work + collective "
+            f"overhead, NOT parallel speedup)"
         )
         print(f"{'D':>3s} {'E/shard':>9s} {'L/shard':>9s} {'total_s':>8s} "
-              f"{'s/iter':>8s} {'work_vs_D1':>10s} {'psum_MB/it':>10s}")
+              f"{'s/iter':>8s} {'work_vs_D1':>10s} {'psum_MB/it':>10s} "
+              f"{'solve':>5s}")
         base = None
         for D in (1, 2, 4, 8):
             if D > want:
                 break
             mesh = Mesh(np.array(jax.devices()[:D]), ("d",))
-            sp = shard_problem(problem, D)
+            sp = shard_problem(problem, D, pose_solver=pose_solver)
             # per-iteration all-reduce payload: the block-sparse camera
             # system Hsc [nnz,36] + bsc [Pa,6] + chi scalars (f64)
             psum_mb = (
@@ -121,7 +139,8 @@ def main(argv: list[str]) -> int:
                 base = dt
             print(f"{D:3d} {sp.edges_per_shard:9d} {sp.lms_per_shard:9d} "
                   f"{dt:8.2f} {per_iter:8.3f} {dt / base:10.2f} "
-                  f"{psum_mb:10.2f}")
+                  f"{psum_mb:10.2f} "
+                  f"{'band' if sp.band is not None else 'pcg':>5s}")
             assert float(trace[max(int(n_done) - 1, 0)]) < float(trace[0])
         print("SCALING OK")
         return 0
