@@ -2441,6 +2441,8 @@ class BlockSolver:
         """Static knobs (beyond the index digest) the SchurPlan depends on."""
         import os as _os
 
+        from . import pcg as _pcg
+
         return (
             jax.default_backend(),
             bool(_os.environ.get("TBA_DISABLE_SCHUR_KERNEL")),
@@ -2449,6 +2451,10 @@ class BlockSolver:
             tuple(int(p.cam.shape[1]) for p in self.packed),
             tuple(m.kind for m in self.metas),
             bool(self.do_schur),
+            # PCG plans capture these module constants at build time
+            # (pcg.py:94-97); tests monkeypatch them, and a stale cached
+            # plan would silently keep the old values
+            PCG_MIN_POSES, float(_pcg.CG_TOL), int(_pcg.CG_MAXITER),
         )
 
     def _attach_expand_plans(self) -> None:

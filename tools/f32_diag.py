@@ -1,10 +1,10 @@
-"""Diagnose the huber_f32 slowdown: per-stage f64 vs f32 timing on TPU.
+"""Per-stage f64 vs f32 timing on TPU (the huber_f32 diagnosis tool).
 
-Round-2 observation: build_system in f32 measured ~2.6x SLOWER than f64 at
-kitti00 scale, which is backwards (f32 should halve the VPU emulation work).
-This times the stages for both dtypes back-to-back with the repo's
-established methodology (warm-up + scalar fetch to force the axon pipeline,
-median of 5).  Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/f32_diag.py
+Round-2 found build_system in f32 ~2.6x SLOWER than f64 at kitti00 scale
+(XLA recomputed the f32 model into every consumer; fixed since, and round-5
+routes f32 through the fused terms kernel).  Kept as the standing dtype
+A/B-stage tool; the one-off follow-ups (f32_diag2/3) are folded into git
+history.  Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/f32_diag.py
 """
 
 from __future__ import annotations

@@ -172,13 +172,15 @@ def _oracle_exactness() -> bool:
     return ok
 
 
-def _terms_kernel_parity() -> bool:
+def _terms_kernel_parity(rk: int = 0, delta: float = 1.0) -> bool:
     """build_system via the fused linearisation kernel (pallas/terms.py) vs
     the XLA terms path, on identical real BA inputs, both on hardware.
 
     Both paths are ~49-bit float-float; agreement at ~1e-11 relative (vs the
     ~1e-7 an uncompensated f32 kernel would show) is the hardware proof that
-    the kernel's Dekker/two-sum chains survive Mosaic lowering."""
+    the kernel's Dekker/two-sum chains survive Mosaic lowering.  With
+    ``rk != 0`` the robustified path (rho'(x)-scaled weight from the
+    chi-kernel pre-pass + rho(x) chi) is exercised under the same bar."""
     from cuda_bundle_adjustment_tpu.io.arrays import optimizer_from_problem
     from cuda_bundle_adjustment_tpu.io.synthetic import make_mixed_ba_problem
     from cuda_bundle_adjustment_tpu.solver import block_solver as bs
@@ -186,13 +188,20 @@ def _terms_kernel_parity() -> bool:
     problem = make_mixed_ba_problem(
         num_poses=24, num_landmarks=220, mean_obs_per_landmark=5.0, seed=13,
     )
-    opt = optimizer_from_problem(problem)
+    opt = optimizer_from_problem(problem, rk=rk, delta=delta)
     s = opt.solver
     s.build_structure()
     plan = s.plan
     assert plan.layout is not None and plan.layout.terms_kernel, (
         "terms kernel should engage on TPU for the mixed f64 config"
     )
+    if rk:
+        # the delta must split the live edges so BOTH rho branches execute
+        model = bs.MODEL_REGISTRY[s.metas[0].kind]
+        x = np.asarray(model.chi(s.graph, s.packed[0], 0, 1.0))
+        live = np.asarray(s.packed[0].active) > 0
+        n_hi = int((x[live] > delta * delta).sum())
+        assert 0 < n_hi < int(live.sum()), (n_hi, int(live.sum()))
     sys_k = bs.build_system(s.graph, s.packed, s.metas, s.Pa, s.La, plan)
     plan_x = plan._replace(layout=plan.layout._replace(terms_kernel=False))
     sys_x = bs.build_system(s.graph, s.packed, s.metas, s.Pa, s.La, plan_x)
@@ -210,7 +219,13 @@ def _terms_kernel_parity() -> bool:
     a = np.asarray(sys_x.Hpl, np.float64).T
     rel = float(np.abs(hpl_k - a).max()) / (float(np.abs(a).max()) or 1.0)
     print(f"  Hpl : max rel err = {rel:.3e}")
-    return ok and rel < 1e-9
+    ok = ok and rel < 1e-9
+
+    chi_k = float(bs.compute_chi(s.graph, s.packed, s.metas, plan=plan))
+    chi_x = float(bs.compute_chi(s.graph, s.packed, s.metas, plan=plan_x))
+    rel = abs(chi_k - chi_x) / (abs(chi_x) or 1.0)
+    print(f"  chi : kernel {chi_k:.12e} vs XLA {chi_x:.12e}  rel = {rel:.3e}")
+    return ok and rel < 1e-11
 
 
 def _aligned_rel_err(b_t, k_t, b_c, k_c, label):
@@ -257,6 +272,11 @@ def main() -> int:
           "inputs (both ~49-bit float-float)...")
     terms_ok = _terms_kernel_parity()
     kernel_ok = kernel_ok and terms_ok
+
+    print("[2c] ROBUST (Huber) linearisation + chi kernels vs XLA path "
+          "(rho'/rho applied on the kernel's per-edge x output)...")
+    robust_ok = _terms_kernel_parity(rk=3, delta=2.0)
+    kernel_ok = kernel_ok and robust_ok
 
     print("[3/4] backend arithmetic: TPU float-float vs CPU native f64 "
           "(informational; includes inv(Hll) conditioning)...")
