@@ -197,3 +197,22 @@ def test_trial_psums_are_combined(mesh):
     txt = step.lower(sp.pose_q, sp.pose_t, sp.Xw, 0.1).compile().as_text()
     n_ar = len(re.findall(r"all-reduce\(", txt))
     assert 1 <= n_ar <= 3, f"expected <=3 all-reduce ops, found {n_ar}"
+
+
+def test_distributed_depth_matches_single_chip(mesh):
+    """Depth BA edges (ba_types.h:204-233 model) on the distributed path:
+    the shard-local stages dispatch through MODEL_REGISTRY, so the depth
+    model runs unmodified — pin trace parity vs the single-chip solver."""
+    problem = make_ba_problem(
+        num_poses=8, num_landmarks=48, mean_obs_per_landmark=4.0,
+        kind="depth", seed=47,
+    )
+    sp = shard_problem(problem, mesh.devices.size)
+    trace_dist, _ = distributed_optimize(mesh, sp, 4)
+
+    opt = optimizer_from_problem(problem)
+    opt.optimize(4)
+    trace_single = [s.chi2 for s in opt.batch_statistics().get()]
+
+    assert len(trace_dist) == len(trace_single)
+    np.testing.assert_allclose(trace_dist, trace_single, rtol=1e-7)

@@ -14,7 +14,13 @@ OUT=artifacts/R5_MEASURE.log
 probe() { timeout 180 python tools/tunnel_probe.py >> $OUT 2>&1; }
 
 echo "=== $(date -u) leading probe ===" >> $OUT
-if ! probe; then echo "TUNNEL UNHEALTHY - aborting sweep" >> $OUT; exit 1; fi
+ok=0
+for a in 1 2 3 4 5 6 7 8; do
+  if probe; then ok=1; break; fi
+  echo "probe attempt $a failed (tunnel flap) - waiting 120s" >> $OUT
+  sleep 120
+done
+if [ $ok -ne 1 ]; then echo "TUNNEL UNHEALTHY - aborting sweep" >> $OUT; exit 1; fi
 
 echo "=== bench matrix (all 5 BASELINE configs, writes BENCH_MATRIX.json) ===" >> $OUT
 timeout 3600 python tools/bench_matrix.py >> $OUT 2>&1
