@@ -496,7 +496,7 @@ def _hpl_class_ff(Hpl36, cm):
     return part(Hpl36[:18]), part(Hpl36[18:])
 
 
-def _bsc_rows_kernel_ff(Hpl36, y, plan):
+def _bsc_rows_kernel_ff(Hpl36, y, plan, dtype=jnp.float64):
     """``Hpl @ y`` rows for the bsc reduce via the per-class Pallas product
     (pallas/schurvec.py), member-presummed — returns the ff-packed
     component-major ``[12, M (+extras)]`` rows ``reduce_rows_ff_cmajor``
@@ -505,7 +505,10 @@ def _bsc_rows_kernel_ff(Hpl36, y, plan):
     from ..pallas.terms import split_ff
 
     lay = plan.layout
-    y_h, y_l = split_ff(y.T)  # [3, La]
+    if isinstance(y, tuple):  # pre-split [3, La] pair (pallas/lminv.py)
+        y_h, y_l = y
+    else:
+        y_h, y_l = split_ff(y.T)  # [3, La]
     parts_h, parts_l = [], []
     for cm in lay.classes:
         S = cm.gc * cm.nc_pad
@@ -525,10 +528,18 @@ def _bsc_rows_kernel_ff(Hpl36, y, plan):
         parts_h.append(oh.reshape(6, cm.d * cm.nc_pad))
         parts_l.append(ol.reshape(6, cm.d * cm.nc_pad))
     if lay.n_extras:
+        if isinstance(y, tuple):
+            # lminv path: recombine the cm pair just for the tiny extras
+            # slice's XLA product
+            dt = dtype
+            yT = y_h.astype(dt) + y_l.astype(dt)  # [3, La]
+        else:
+            dt = y.dtype
+            yT = y.T
         ex = jax.lax.slice_in_dim(Hpl36, lay.e_classes, lay.e_total, axis=1)
-        Hpl_ex = ex[:18].astype(y.dtype) + ex[18:].astype(y.dtype)
-        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], y.shape[0] - 1)
-        rows_ex = _flat_mv_6x3_cm(Hpl_ex, y.T[:, idx])  # [6, n_ex] f64
+        Hpl_ex = ex[:18].astype(dt) + ex[18:].astype(dt)
+        idx = jnp.minimum(plan.ba_lm_idx[lay.e_classes :], yT.shape[1] - 1)
+        rows_ex = _flat_mv_6x3_cm(Hpl_ex, yT[:, idx])  # [6, n_ex] f64
         eh, el = split_ff(rows_ex)
         parts_h.append(eh)
         parts_l.append(el)
@@ -865,6 +876,9 @@ def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
         lm_acc = lm_acc + segment_sum(
             ex_lm, plan.lm_extra_pos, num_segments=La
         )
+    # component-major copy for the per-trial lminv kernel (one relayout per
+    # OUTER iteration instead of [La,1]-column f64 emulation per trial)
+    lm_cm_full = lm_acc.T if n_ex else lm_cm
 
     Hpl36 = jnp.concatenate(
         [jnp.concatenate(hpl_parts_h, axis=1),
@@ -878,6 +892,7 @@ def _build_system_terms_kernel(graph, data, meta, Pa, La, plan, pose_state):
         Hll=lm_acc[:, :9],
         bl=lm_acc[:, 9:],
         Hpl=Hpl36,
+        lm_cm=lm_cm_full,
     )
 
 
@@ -1302,9 +1317,29 @@ def schur_reduce(
     Pa = num_active_poses
     dtype = sys.bp.dtype
     Hpp_d = add_lambda(sys.Hpp, lam)
-    diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
-    Hll_d = sys.Hll + lam * diag9
-    invHll = flat_sym3x3_inv(Hll_d)  # [La,9] flat
+    # landmark-side damped inversion: the lminv Pallas kernel on the
+    # component-major copy (terms-kernel path; [La, k] row-major forms run
+    # as [La,1]-column f64 emulation chains with per-iteration loop copies —
+    # pallas/lminv.py docstring); invHll is then the (hi, lo) f32 pair the
+    # pairprod/back-substitution kernels consume directly.
+    import os as _os
+
+    use_lminv = (
+        plan is not None
+        and plan.layout is not None
+        and getattr(plan.layout, "terms_kernel", False)
+        and sys.lm_cm is not None
+        and not _os.environ.get("TBA_DISABLE_LMINV_KERNEL")
+    )
+    if use_lminv:
+        from ..pallas.lminv import lminv_call
+
+        inv_h, inv_l, y_h, y_l = lminv_call(sys.lm_cm, lam)
+        invHll = (inv_h, inv_l)
+    else:
+        diag9 = jnp.zeros((9,), dtype).at[jnp.array([0, 4, 8])].set(1.0)
+        Hll_d = sys.Hll + lam * diag9
+        invHll = flat_sym3x3_inv(Hll_d)  # [La,9] flat
 
     # triple products Hsc[k] -= W[ei] Hpl[ej]^T with W = Hpl inv(Hll).
     # Grouped kernel path: W forms INSIDE the pair-product kernel from Hpl
@@ -1317,7 +1352,7 @@ def schur_reduce(
         from ..ops.components import flat_mv_3x3
         from ..pallas.pairprod import schur_pair_rows_packed, schur_pair_rows_v2
 
-        y = flat_mv_3x3(invHll, sys.bl)  # [La,3] per-landmark inv(Hll) bl
+        y = (y_h, y_l) if use_lminv else flat_mv_3x3(invHll, sys.bl)
         # optimization_barrier (both branches): this f64 product is the only
         # per-trial f64 consumer of Hpl, and XLA's float-float mul emulation
         # contains is-finite/inf-handling subexpressions of the Hpl operand
@@ -1335,11 +1370,20 @@ def schur_reduce(
             # form was a [1, E]-tiled emulation swarm, ~2 ms/iteration
             from .segments import reduce_rows_ff_cmajor
 
-            rows12 = _bsc_rows_kernel_ff(sys.Hpl, y, plan)
+            rows12 = _bsc_rows_kernel_ff(sys.Hpl, y, plan, dtype)
             bsc = sys.bp - reduce_rows_ff_cmajor(
                 rows12, plan.bsc_plan, dtype
             ).T
-            rows = schur_pair_rows_packed(sys.Hpl, invHll, plan)
+            if use_lminv:
+                # invHll is already the (hi, lo) pair — skip the transpose
+                # + re-split schur_pair_rows_packed would do per trial
+                from ..pallas.pairprod import _pair_rows_from_splits
+
+                rows = _pair_rows_from_splits(
+                    sys.Hpl[:18], sys.Hpl[18:], inv_h, inv_l, plan
+                )
+            else:
+                rows = schur_pair_rows_packed(sys.Hpl, invHll, plan)
         else:
             bsc_rows = flat_mv_6x3(
                 jax.lax.optimization_barrier(sys.Hpl), _lm_slot_expand(y, plan)
@@ -1401,6 +1445,18 @@ def schur_back_substitute(
         acc = _backsub_lm_sum_kernel_ff(
             sys.Hpl, xp, plan, Pa, sys.bl.shape[0], sys.bl.dtype
         )
+        if isinstance(invHll, tuple):
+            # lminv path: keep the whole chain component-major and in the
+            # kernels — cl [3, La] cm, xl = inv @ cl via the mv kernel, ONE
+            # transpose of the final [3, La] result back to row-major
+            from ..pallas.lminv import sym3x3_mv_call
+            from ..pallas.terms import split_ff
+
+            cl_cm = sys.lm_cm[9:12] - acc
+            c_h, c_l = split_ff(cl_cm)
+            x_h, x_l = sym3x3_mv_call(invHll[0], invHll[1], c_h, c_l)
+            dtype = sys.bl.dtype
+            return (x_h.astype(dtype) + x_l.astype(dtype)).T
         cl = sys.bl - acc.T
         return flat_mv_3x3(invHll, cl)
     if plan.layout is not None and plan.chunk_pose is not None:

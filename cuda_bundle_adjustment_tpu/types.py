@@ -79,3 +79,9 @@ class SystemBlocks(NamedTuple):
     Hll: Optional[jnp.ndarray]  # [La, 9] flat symmetric blocks or None
     bl: Optional[jnp.ndarray]  # [La, 3] or None
     Hpl: Optional[jnp.ndarray]  # [Eba, 18] flat 6x3 per-edge blocks or None
+    # component-major copy of (Hll | bl) — [12, La] — carried only on the
+    # terms-kernel path, where the per-trial landmark inversion runs as the
+    # Pallas lminv kernel over lanes (the [La, k] row-major forms tile their
+    # 12-wide last axis to 128 lanes, so every per-trial f64 elementwise op
+    # on them ran at <10% lane utilisation with loop-copy traffic)
+    lm_cm: Optional[jnp.ndarray] = None

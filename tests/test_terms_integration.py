@@ -148,11 +148,14 @@ def test_kernel_full_solve_matches_xla(interp_terms):
         ref_sys, lam, plan, solver.Pa, solver.La, nnz, mixed=False
     )
 
+    import cuda_bundle_adjustment_tpu.pallas.lminv as lmv
     import cuda_bundle_adjustment_tpu.pallas.pairprod as pp
     import cuda_bundle_adjustment_tpu.pallas.schurvec as sv
 
     orig_packed = pp.schur_pair_rows_packed
+    orig_splits = pp._pair_rows_from_splits
     orig_mv, orig_mtv = sv.hpl_mv_class_call, sv.hpl_mtv_class_call
+    orig_lminv, orig_smv = lmv.lminv_call, lmv.sym3x3_mv_call
 
     def interp_pp(Hpl36, invHll, plan_, interpret=True):
         return orig_packed(Hpl36, invHll, plan_, interpret=True)
@@ -162,10 +165,19 @@ def test_kernel_full_solve_matches_xla(interp_terms):
         graph, packed, metas, solver.Pa, solver.La, kplan
     )
     pp.schur_pair_rows_packed = interp_pp
+    pp._pair_rows_from_splits = lambda *a, **k: orig_splits(
+        *a, **{**k, "interpret": True}
+    )
     sv.hpl_mv_class_call = lambda *a, **k: orig_mv(
         *a, **{**k, "interpret": True}
     )
     sv.hpl_mtv_class_call = lambda *a, **k: orig_mtv(
+        *a, **{**k, "interpret": True}
+    )
+    lmv.lminv_call = lambda *a, **k: orig_lminv(
+        *a, **{**k, "interpret": True}
+    )
+    lmv.sym3x3_mv_call = lambda *a, **k: orig_smv(
         *a, **{**k, "interpret": True}
     )
     try:
@@ -174,8 +186,11 @@ def test_kernel_full_solve_matches_xla(interp_terms):
         )
     finally:
         pp.schur_pair_rows_packed = orig_packed
+        pp._pair_rows_from_splits = orig_splits
         sv.hpl_mv_class_call = orig_mv
         sv.hpl_mtv_class_call = orig_mtv
+        lmv.lminv_call = orig_lminv
+        lmv.sym3x3_mv_call = orig_smv
 
     assert bool(ref_ok) and bool(got_ok)
     # tolerances are interpret-mode-noise bounds, not accuracy claims: the
