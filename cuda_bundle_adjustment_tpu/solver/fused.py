@@ -71,24 +71,16 @@ def optimize_fused(
 ) -> FusedResult:
     dtype = graph.q.dtype
 
-    # single-BA-set fast path: the per-edge pose state ([12, E]: t + R) is
-    # expanded ONCE per candidate graph and shared between the trial's chi
-    # pass and the next iteration's linearisation.  It rides the loop carry
-    # un-selected: retries re-use the closure state and the outer loop only
-    # continues after an accept (cf. the system-carry experiment in
-    # NEXT_STEPS.md — sharing works here because this is ~120 MB, not ~1 GB).
-    share_state = (
-        len(packed) == 1
-        and metas[0].kind in ("mono", "stereo", "depth")
-        and packed[0].pose_xp is not None
-    )
-
-    def pose_state_of(g):
-        if not share_state:
-            return None
-        from ..models.ba import expand_pose_state
-
-        return expand_pose_state(g, packed[0])
+    # NOTE on state sharing (round-5 finding): an earlier revision expanded
+    # the per-edge pose state ([12, E]) once per candidate graph and carried
+    # it through the loop to share between the trial's chi pass and the next
+    # iteration's linearisation.  The carry forced a ~1.2 ms/iteration
+    # buffer copy at KITTI-00 scale (plus a roll-back select to keep a
+    # rejected trial's state from leaking into the next linearisation),
+    # which costs MORE than the one chunk-level expansion (~1 ms) it saved —
+    # measured 295.2 vs 298.6 ms per optimize(10) on the device trace.  Each
+    # pass now simply re-expands from its own graph (deterministic, so the
+    # chi2 trace is unchanged), and the carry holds no large state at all.
 
     def trial(graph, sys, lam):
         if do_schur:
@@ -97,23 +89,20 @@ def optimize_fused(
             xp, success = solve_pose_only(sys, lam)
             xl = None
         new_graph = apply_update(graph, xp, xl, Pa, La)
-        new_state = pose_state_of(new_graph)
-        Fhat = compute_chi(new_graph, packed, metas, new_state, plan)
+        Fhat = compute_chi(new_graph, packed, metas, None, plan)
         scale = compute_scale(xp, xl, sys, lam)
-        return new_graph, new_state, Fhat, scale, success
+        return new_graph, Fhat, scale, success
 
-    def inner_damping(graph, state, sys, lam, nu, F):
+    def inner_damping(graph, sys, lam, nu, F):
         """The reject/re-damp loop.  Carry mirrors the host loop's locals."""
 
         def cond(c):
-            graph_c, state_c, lam_c, nu_c, F_c, rho, q, stop = c
+            graph_c, lam_c, nu_c, F_c, rho, q, stop = c
             return (~stop) & (q < MAXQ) & (rho < 0)
 
         def body(c):
-            graph_c, state_c, lam_c, nu_c, F_c, rho, q, stop = c
-            new_graph, new_state, Fhat, scale_raw, success = trial(
-                graph_c, sys, lam_c
-            )
+            graph_c, lam_c, nu_c, F_c, rho, q, stop = c
+            new_graph, Fhat, scale_raw, success = trial(graph_c, sys, lam_c)
             scale = scale_raw + 1e-3
             Fdiff = Fhat - F_c
             rho_t = jnp.where(success, (F_c - Fhat) / scale, jnp.asarray(-1.0, dtype))
@@ -134,19 +123,10 @@ def optimize_fused(
             bail = (~jnp.isfinite(lam_n)) | (Fdiff < 1e-4)
             stop_n = accept | bail
             q_n = jnp.where(stop_n, q, q + 1)
-            # new_state rides un-selected WITHIN the inner loop (a tree-map
-            # select here would copy ~120 MB per trial and no inner trial
-            # consumes it — each trial re-expands from its own candidate
-            # graph).  one_iteration re-selects it ONCE per outer iteration
-            # against the entry state, so a non-accept exit cannot leak a
-            # rejected trial's state into the next linearisation even if the
-            # outer termination test changes (tests/test_fused.py pins this
-            # with RHO_DONE monkeypatched to keep iterating past rejections).
-            return (graph_n, new_state, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
+            return (graph_n, lam_n, nu_n, F_n, rho_t, q_n, stop_n)
 
         init = (
             graph,
-            state,
             lam,
             nu,
             F,
@@ -154,60 +134,42 @@ def optimize_fused(
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
         )
-        graph_f, state_f, lam_f, nu_f, F_f, rho_f, q_f, _ = jax.lax.while_loop(
+        graph_f, lam_f, nu_f, F_f, rho_f, q_f, _ = jax.lax.while_loop(
             cond, body, init
         )
-        return graph_f, state_f, lam_f, nu_f, F_f, rho_f, q_f
+        return graph_f, lam_f, nu_f, F_f, rho_f, q_f
 
     def one_iteration(it, carry):
-        graph, state, F, lam, nu, done, trace, n_done, rho_last = carry
+        graph, F, lam, nu, done, trace, n_done, rho_last = carry
 
         def run(args):
-            graph, state, F0, lam, nu, trace, n_done = args
-            # F0 and the expanded pose state are carried from the previous
-            # iteration's accepted trial — recomputing on the same graph is
-            # deterministic and equal, so carrying saves one full residual
-            # pass and one state expansion per iteration
-            sys = build_system(
-                graph, packed, metas, Pa, La, plan, pose_state=state
-            )
+            graph, F0, lam, nu, trace, n_done = args
+            # F0 is carried from the previous iteration's accepted trial —
+            # recomputing on the same graph is deterministic and equal, so
+            # carrying the SCALAR saves one full residual pass per iteration
+            sys = build_system(graph, packed, metas, Pa, La, plan)
             lam0 = jnp.where(it == 0, TAU * max_diagonal(sys), lam)
-            graph, state_exit, lam, nu, F, rho, q = inner_damping(
-                graph, state, sys, lam0, nu, F0
-            )
-            # the exit state matches the graph only after an ACCEPT (rho > 0);
-            # a bail/exhaustion exit rolled the graph back to the iteration's
-            # entry graph, so roll the shared pose state back with it.  One
-            # fused select per OUTER iteration (~0.2 ms at KITTI-00 scale) —
-            # cheap insurance that the carry stays correct under ANY outer
-            # termination rule.
-            if state is not None:
-                ok = rho > 0
-                state = jax.tree.map(
-                    lambda a, b: jnp.where(ok, a, b), state_exit, state
-                )
+            graph, lam, nu, F, rho, q = inner_damping(graph, sys, lam0, nu, F0)
             trace = trace.at[it].set(F)
             done_now = (q == MAXQ) | (rho < RHO_DONE) | (~jnp.isfinite(lam))
-            return graph, state, F, lam, nu, done_now, trace, n_done + 1, rho
+            return graph, F, lam, nu, done_now, trace, n_done + 1, rho
 
         def skip(args):
-            graph, state, F, lam, nu, trace, n_done = args
+            graph, F, lam, nu, trace, n_done = args
             return (
-                graph, state, F, lam, nu, jnp.asarray(True), trace, n_done,
+                graph, F, lam, nu, jnp.asarray(True), trace, n_done,
                 rho_last,
             )
 
-        graph, state, F, lam, nu, done, trace, n_done, rho = jax.lax.cond(
-            done, skip, run, (graph, state, F, lam, nu, trace, n_done)
+        graph, F, lam, nu, done, trace, n_done, rho = jax.lax.cond(
+            done, skip, run, (graph, F, lam, nu, trace, n_done)
         )
-        return graph, state, F, lam, nu, done, trace, n_done, rho
+        return graph, F, lam, nu, done, trace, n_done, rho
 
-    state0 = pose_state_of(graph)
     trace0 = jnp.zeros((niterations,), dtype)
     carry = (
         graph,
-        state0,
-        compute_chi(graph, packed, metas, state0, plan),
+        compute_chi(graph, packed, metas, None, plan),
         jnp.asarray(0.0, dtype),
         jnp.asarray(2.0, dtype),
         jnp.asarray(False),
@@ -215,7 +177,7 @@ def optimize_fused(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(-1.0, dtype),
     )
-    graph, state, F, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
+    graph, F, lam, nu, done, trace, n_done, rho = jax.lax.fori_loop(
         0, niterations, one_iteration, carry
     )
     return FusedResult(

@@ -94,15 +94,17 @@ def test_fused_pose_only():
 
 
 def test_fused_carry_invariant_under_rejections(monkeypatch):
-    """Round-2 weak #8: the shared pose state rides the inner-loop carry
-    un-selected; one_iteration must re-select it against the entry state so
-    a non-accept exit cannot leak a rejected trial's state into the next
-    linearisation under ANY outer termination rule.  Exercise exactly that:
-    disable the rho termination (RHO_DONE -> -2 in both loops) and force
-    mid-run LARGE-step rejections by failing the solve whenever lambda drops
-    below 1000 (success=False -> rho=-1 -> Fdiff<1e-4 bail, with the
-    rejected candidate far from the rolled-back graph).  The share-state
-    fused loop must match both the no-share fused loop and the host loop."""
+    """Round-2 weak #8 regression guard: a rejected trial's state must never
+    leak into the next linearisation under ANY outer termination rule.  The
+    round-5 fused loop carries NO large state at all (each pass re-expands
+    from its own graph — the carried state cost more in loop copies than the
+    expansion it saved, see solver/fused.py), which closes the hazard by
+    construction; this test keeps it closed: disable the rho termination
+    (RHO_DONE -> -2 in both loops) and force mid-run LARGE-step rejections
+    by failing the solve whenever lambda drops below 1000 (success=False ->
+    rho=-1 -> Fdiff<1e-4 bail, with the rejected candidate far from the
+    rolled-back graph).  The plans-attached fused loop must match both the
+    plain fused loop and the host loop."""
     import cuda_bundle_adjustment_tpu.optimizer as opt_mod
     import cuda_bundle_adjustment_tpu.pallas.onehot as oh
     import cuda_bundle_adjustment_tpu.solver.block_solver as bs
