@@ -1993,27 +1993,34 @@ class BlockSolver:
                     lm_idx[dummy] = pos_in_class[dummy]
                     E = perm.size
 
-            if native_pack is not None:
-                lay_ = self.group_layout
-                n_cls = lay_.meta.e_classes
-                cp_i32 = np.where(
-                    lay_.chunk_pose < 0, self.Pa, lay_.chunk_pose
-                ).astype(np.int32)
-                ex_pose_up = (
-                    pose_up[n_cls:].astype(np.int16)
-                    if self.P + 1 < 2**15
-                    else pose_up[n_cls:].astype(np.int32)
-                )
+            if self.group_layout is not None and self._cp_host is None:
                 # the chunk-pose table is reused as the pose expand plan's
                 # device indices (_attach_expand_plans): keep host + device
                 # (device copy cached with the layout — saves the upload on
-                # identical-structure re-initialisation)
+                # identical-structure re-initialisation).  Layout-derived
+                # only, so BOTH pack paths (native C++ and the numpy _take
+                # fallback) must set it — without it the pose expand plan
+                # degrades to per-edge-slot granularity (~Gc x more one-hot
+                # work per iteration, measured ~6 ms/iter at KITTI-00 scale)
+                cp_i32 = np.where(
+                    self.group_layout.chunk_pose < 0,
+                    self.Pa,
+                    self.group_layout.chunk_pose,
+                ).astype(np.int32)
                 self._cp_host = cp_i32
                 if "cp_dev" in self._struct_bundle:
                     self._cp_dev = self._struct_bundle["cp_dev"]
                 else:
                     self._cp_dev = jnp.asarray(cp_i32)
                     self._struct_bundle["cp_dev"] = self._cp_dev
+            if native_pack is not None:
+                lay_ = self.group_layout
+                n_cls = lay_.meta.e_classes
+                ex_pose_up = (
+                    pose_up[n_cls:].astype(np.int16)
+                    if self.P + 1 < 2**15
+                    else pose_up[n_cls:].astype(np.int32)
+                )
                 if dt == jnp.float32:
                     # f32 solve mode: cast the dominant upload on the host —
                     # bit-identical to the on-device cast and half the bytes

@@ -24,9 +24,10 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "..", "native", "libtba_symbolic.so")
-    path = os.path.abspath(path)
-    if not os.path.exists(path):
+    from ..native.build import ensure_built
+
+    path = ensure_built()  # builds on demand; None when unavailable/disabled
+    if path is None or not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
